@@ -1,0 +1,33 @@
+"""Helpers for loading the read-only reference PyTorch implementation in tests.
+
+The reference at /root/reference is used purely as a *golden oracle*: its
+randomly-initialized torch modules are run forward, their state dicts are pulled
+through our converters, and our JAX models must reproduce the outputs. No
+pretrained weights are needed (the image has no network access).
+"""
+import os.path as osp
+import sys
+
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_available() -> bool:
+    return osp.isdir(osp.join(REFERENCE_ROOT, "models"))
+
+
+def add_reference_to_path():
+    if not reference_available():
+        pytest.skip("reference implementation not mounted")
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+
+
+def torch_or_skip():
+    return pytest.importorskip("torch")
+
+
+def state_dict_numpy(module) -> dict:
+    """Torch module state_dict -> plain numpy dict."""
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
