@@ -1,0 +1,75 @@
+"""ProgGAN (Progressive Growing of GANs) 1024x1024 CelebA-HQ generator.
+
+Behavioral parity with reference ``models/ProgGAN/model.py``: a fixed chain of
+18 blocks, each PixelNorm -> (optional 2x nearest-up) -> conv3x3 (no bias) ->
+WScale (learned scalar scale + per-channel bias) -> LeakyReLU(0.2) (:34-62),
+channels 512...16, then an output head PixelNorm -> conv1x1 -> WScale (:65-95).
+Input is a (B, 512) latent reshaped to a 1x1 spatial seed; the first block pads
+by 3 so the 4x4 conv produces a 4x4 map.
+
+Inference-only (frozen generator); NHWC activations.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from warpedganspace_tpu.nn import core as nn
+
+# (kernel, padding, upsample) for the 18 feature blocks — channels are implied
+# by the converted weights (512 x4, then halving to 16; model.py:67-84).
+_BLOCK_SPECS = [(4, 3, False), (3, 1, False)] + [(3, 1, up) for up in
+                [True, False] * 8]
+
+
+@dataclasses.dataclass(frozen=True)
+class ProgGANGenerator:
+    dim_z: int = 512
+    resolution: int = 1024
+    image_channels: int = 3
+
+    def init(self, key: jax.Array) -> dict:
+        """Random init (test use; real use converts the pretrained .pth)."""
+        channels = [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 256, 128,
+                    128, 64, 64, 32, 32, 16, 16]
+        keys = jax.random.split(key, len(_BLOCK_SPECS) + 1)
+        blocks = []
+        for i, (k, _, _) in enumerate(_BLOCK_SPECS):
+            cin, cout = channels[i], channels[i + 1]
+            blocks.append(
+                {
+                    "conv": {"w": jax.random.normal(keys[i], (k, k, cin, cout)) * 0.02},
+                    "wscale_scale": jnp.ones((1,)),
+                    "wscale_bias": jnp.zeros((cout,)),
+                }
+            )
+        out = {
+            "conv": {"w": jax.random.normal(keys[-1], (1, 1, 16, 3)) * 0.02},
+            "wscale_scale": jnp.ones((1,)),
+            "wscale_bias": jnp.zeros((3,)),
+        }
+        return {"blocks": blocks, "out": out}
+
+    def apply(self, params: dict, z: jax.Array, shift: jax.Array | None = None):
+        """G(z + shift) -> (B, 1024, 1024, 3) images.
+
+        Parity: ProgGANWrapper.forward reshapes z to (B, 512, 1, 1)
+        (models/gan_load.py:109-120) and runs the Sequential (model.py:86-95).
+        """
+        if shift is not None:
+            z = z + shift
+        x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed
+        for spec, p in zip(_BLOCK_SPECS, params["blocks"]):
+            kernel, pad, up = spec
+            x = nn.pixel_norm(x)
+            if up:
+                x = nn.upsample_nearest(x, 2)
+            x = nn.conv2d(p["conv"], x, padding=pad)
+            x = x * p["wscale_scale"] + p["wscale_bias"]
+            x = jnp.where(x >= 0, x, 0.2 * x)
+        x = nn.pixel_norm(x)
+        x = nn.conv2d(params["out"]["conv"], x, padding=0)
+        x = x * params["out"]["wscale_scale"] + params["out"]["wscale_bias"]
+        return x
