@@ -1,0 +1,169 @@
+"""Training subsystem tests: step correctness, DP equivalence, Trainer E2E."""
+import json
+import os.path as osp
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from warpedganspace_tpu.models.api import GeneratorBundle
+from warpedganspace_tpu.models.reconstructor import Reconstructor
+from warpedganspace_tpu.models.sngan import SNGANGenerator
+from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.parallel import make_mesh
+from warpedganspace_tpu.train import (
+    TrainStepConfig,
+    Trainer,
+    init_train_state,
+    make_train_step,
+)
+
+
+def _tiny_setup(batch_size=8, K=4):
+    gen = SNGANGenerator.from_gan_type("SNGAN_MNIST")
+    g_params = gen.init(jax.random.key(0))
+    G = GeneratorBundle(
+        name="SNGAN_MNIST",
+        dim_z=gen.dim_z,
+        resolution=32,
+        out_channels=1,
+        params=g_params,
+        apply_fn=gen.apply,
+    )
+    S = SupportSets(num_support_sets=K, num_support_dipoles=2, support_vectors_dim=gen.dim_z)
+    R = Reconstructor("LeNet", dim=K, channels=1)
+    cfg = TrainStepConfig(
+        batch_size=batch_size,
+        num_support_sets=K,
+        min_shift_magnitude=0.15,
+        max_shift_magnitude=0.25,
+    )
+    return G, S, R, cfg
+
+
+def test_train_step_runs_and_learns():
+    G, S, R, cfg = _tiny_setup()
+    key = jax.random.key(1)
+    state = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg, donate=False)
+
+    s0 = state["s_params"]["support_sets"]
+    alphas0 = state["s_params"]["alphas"]
+    state2, metrics = step(state, G.params, key, 1)
+
+    for k in ("accuracy", "classification_loss", "regression_loss", "total_loss"):
+        assert np.isfinite(float(metrics[k])), k
+    # Support vectors must move; frozen alphas must not.
+    assert float(jnp.abs(state2["s_params"]["support_sets"] - s0).max()) > 0
+    np.testing.assert_array_equal(state2["s_params"]["alphas"], alphas0)
+    # Reconstructor BN stats must have been refreshed.
+    assert float(jnp.abs(state2["r_params"]["bn1"]["mean"]).max()) > 0
+
+
+def test_train_step_loss_decreases():
+    """Stepping repeatedly on one fixed batch (same iteration -> same RNG fold)
+    must overfit it — validates the full grad path through frozen G into S/R."""
+    G, S, R, cfg = _tiny_setup()
+    cfg = TrainStepConfig(**{**cfg.__dict__, "support_set_lr": 3e-3, "reconstructor_lr": 3e-3})
+    key = jax.random.key(2)
+    state = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg)
+    losses = []
+    for _ in range(40):
+        state, metrics = step(state, G.params, key, 1)
+        losses.append(float(metrics["total_loss"]))
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+
+
+def test_data_parallel_step_matches_single_device():
+    """SPMD-sharded step == single-device step on the same batch (SURVEY §4)."""
+    G, S, R, cfg = _tiny_setup(batch_size=16)
+    key = jax.random.key(3)
+    state1 = init_train_state(key, G, S, R, cfg)
+    state2 = jax.tree_util.tree_map(lambda x: x.copy(), state1)
+
+    step_single = make_train_step(G, S, R, cfg, mesh=None, donate=False)
+    mesh = make_mesh()
+    step_dp = make_train_step(G, S, R, cfg, mesh=mesh, donate=False)
+
+    out1, m1 = step_single(state1, G.params, key, 1)
+    out2, m2 = step_dp(state2, G.params, key, 1)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        out1["s_params"]["support_sets"], out2["s_params"]["support_sets"], rtol=1e-4, atol=1e-6
+    )
+
+
+def _trainer_params(tmp, max_iter=4):
+    return types.SimpleNamespace(
+        gan_type="SNGAN_MNIST",
+        reconstructor_type="LeNet",
+        num_support_sets=4,
+        num_support_dipoles=2,
+        min_shift_magnitude=0.15,
+        max_shift_magnitude=0.25,
+        lambda_cls=1.0,
+        lambda_reg=0.25,
+        support_set_lr=1e-4,
+        reconstructor_lr=1e-4,
+        batch_size=4,
+        max_iter=max_iter,
+        log_freq=2,
+        ckp_freq=2,
+        tensorboard=False,
+        z_truncation=None,
+        shift_in_w_space=False,
+        learn_alphas=False,
+        learn_gammas=False,
+        gamma=None,
+    )
+
+
+def test_trainer_end_to_end(tmp_path, capsys):
+    G, S, R, _ = _tiny_setup(batch_size=4)
+    p = _trainer_params(tmp_path)
+    root = str(tmp_path / "experiments")
+    trn = Trainer(params=p, exp_dir="test-exp", root=root)
+    trn.train(G, S, R)
+
+    wip = osp.join(root, "wip", "test-exp")
+    complete = osp.join(root, "complete", "test-exp")
+    assert osp.isfile(osp.join(wip, "models", "support_sets_init.pt"))
+    assert osp.isfile(osp.join(wip, "models", "support_sets.pt"))
+    assert osp.isfile(osp.join(wip, "models", "reconstructor.pt"))
+    assert osp.isfile(osp.join(wip, "models", "checkpoint.pt"))
+    # Completed run copied without checkpoint.pt (reference trainer.py:302-319).
+    assert osp.isfile(osp.join(complete, "models", "support_sets.pt"))
+    assert not osp.isfile(osp.join(complete, "models", "checkpoint.pt"))
+    with open(osp.join(wip, "stats.json")) as f:
+        stats = json.load(f)
+    assert set(stats) == {"2", "4"}
+    assert set(stats["4"]) == {
+        "accuracy",
+        "classification_loss",
+        "regression_loss",
+        "total_loss",
+    }
+
+    # Checkpoint round-trips through the reference torch format.
+    from warpedganspace_tpu.utils.io import load_pt
+
+    ckpt = load_pt(osp.join(wip, "models", "checkpoint.pt"))
+    assert ckpt["iter"] == 4
+    assert "SUPPORT_SETS" in ckpt["support_sets"]
+    assert ckpt["support_sets"]["SUPPORT_SETS"].shape == (4, 2 * 2 * 128)
+
+
+def test_trainer_resume_completed_exits(tmp_path):
+    G, S, R, _ = _tiny_setup(batch_size=4)
+    p = _trainer_params(tmp_path)
+    root = str(tmp_path / "experiments")
+    Trainer(params=p, exp_dir="exp2", root=root).train(G, S, R)
+    # Re-running a completed experiment exits early (reference trainer.py:169-177).
+    with pytest.raises(SystemExit):
+        Trainer(params=p, exp_dir="exp2", root=root).train(G, S, R)

@@ -1,0 +1,10 @@
+"""SPMD parallelism over TPU device meshes."""
+
+from warpedganspace_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]

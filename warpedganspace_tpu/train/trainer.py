@@ -1,0 +1,294 @@
+"""Trainer: orchestration around the jitted train step.
+
+Behavioral parity with reference ``lib/trainer.py``:
+
+- experiments/wip/<EXP_DIR>/ working tree with models/, stats.json, optional
+  tensorboard/ (:36-63); finished runs copied to experiments/complete/ with
+  checkpoint.pt excluded (:169-177, :302-319).
+- checkpoint.pt = {'iter', 'support_sets': state_dict, 'reconstructor':
+  state_dict} written every ckp_freq iterations (:288-295); resume loads it and
+  restarts at the stored iteration (:74-89). The reference does NOT checkpoint
+  optimizer state (Adam moments reset on resume); we additionally persist the
+  optax states in a sidecar ``optimizer_state.npz`` and restore them when
+  present — a documented fix, removable by deleting the sidecar.
+- stats.json: {iteration: {accuracy, classification_loss, regression_loss,
+  total_loss}} rewritten whole-file every log_freq (:101-112); same stdout
+  progress block (:114-127); same final support_sets.pt / reconstructor.pt
+  exports in reference-compatible torch format (:302-308).
+
+TPU-specific behavior: metric device->host transfers are deferred to the log
+boundary so the accelerator stream never stalls mid-window; iteration wall
+times are therefore measured per log window (the printed mean iter time is the
+window mean, which is also what the reference effectively reports).
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import pickle
+import shutil
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from warpedganspace_tpu.convert import (
+    lenet_reconstructor_from_state_dict,
+    lenet_reconstructor_to_state_dict,
+    resnet_reconstructor_from_state_dict,
+    resnet_reconstructor_to_state_dict,
+)
+from warpedganspace_tpu.core.stats import TrainingStatTracker
+from warpedganspace_tpu.train.train_step import (
+    TrainStepConfig,
+    init_train_state,
+    make_train_step,
+)
+from warpedganspace_tpu.utils.aux import sec2dhms, update_progress, update_stdout
+from warpedganspace_tpu.utils.io import load_pt, save_pt
+
+
+def _reconstructor_sd(rtype: str, params):
+    if rtype == "LeNet":
+        return lenet_reconstructor_to_state_dict(params)
+    return resnet_reconstructor_to_state_dict(params)
+
+
+def _reconstructor_from_sd(rtype: str, sd):
+    if rtype == "LeNet":
+        return lenet_reconstructor_from_state_dict(sd)
+    return resnet_reconstructor_from_state_dict(sd)
+
+
+class Trainer:
+    """Owns the experiment directory tree, checkpointing, stats and the loop."""
+
+    def __init__(self, params=None, exp_dir=None, mesh=None, seed: int = 0, root: str = "experiments"):
+        if params is None:
+            raise ValueError("Cannot build a Trainer instance with empty params")
+        self.params = params
+        self.mesh = mesh
+        self.seed = seed
+
+        self.wip_dir = osp.join(root, "wip", exp_dir)
+        self.complete_dir = osp.join(root, "complete", exp_dir)
+
+        self.stats_json = osp.join(self.wip_dir, "stats.json")
+        os.makedirs(self.wip_dir, exist_ok=True)
+        if not osp.isfile(self.stats_json):
+            with open(self.stats_json, "w") as f:
+                json.dump({}, f)
+
+        self.models_dir = osp.join(self.wip_dir, "models")
+        os.makedirs(self.models_dir, exist_ok=True)
+        self.checkpoint = osp.join(self.models_dir, "checkpoint.pt")
+        self.opt_sidecar = osp.join(self.models_dir, "optimizer_state.npz")
+
+        self.tensorboard = bool(getattr(self.params, "tensorboard", False))
+        self.tb_writer = None
+        if self.tensorboard:
+            self.tb_dir = osp.join(self.wip_dir, "tensorboard")
+            os.makedirs(self.tb_dir, exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb_writer = SummaryWriter(log_dir=self.tb_dir)
+            except Exception as e:  # tensorboard not installed — degrade quietly
+                print(f"#. Warning: TensorBoard unavailable ({e}); scalar logging disabled")
+                self.tb_writer = None
+
+        self.stat_tracker = TrainingStatTracker()
+
+    # ------------------------------------------------------------- checkpoints
+    def save_checkpoint(self, iteration: int, S, R, state):
+        save_pt(
+            {
+                "iter": iteration,
+                "support_sets": S.to_torch_state_dict(state["s_params"]),
+                "reconstructor": _reconstructor_sd(
+                    self.params.reconstructor_type, state["r_params"]
+                ),
+            },
+            self.checkpoint,
+        )
+        # Optax states (fix-with-note; reference resets Adam moments on resume).
+        leaves, treedef = jax.tree_util.tree_flatten(
+            {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
+        )
+        with open(self.opt_sidecar, "wb") as f:
+            pickle.dump(
+                {"leaves": [np.asarray(x) for x in leaves], "treedef_repr": None}, f
+            )
+
+    def get_starting_iteration(self, S, R, state) -> tuple[int, dict]:
+        """Resume from checkpoint.pt if present (reference trainer.py:74-89)."""
+        if not osp.isfile(self.checkpoint):
+            return 1, state
+        ckpt = load_pt(self.checkpoint)
+        state = dict(state)
+        state["s_params"] = S.from_torch_state_dict(ckpt["support_sets"])
+        state["r_params"] = _reconstructor_from_sd(
+            self.params.reconstructor_type, ckpt["reconstructor"]
+        )
+        if osp.isfile(self.opt_sidecar):
+            try:
+                with open(self.opt_sidecar, "rb") as f:
+                    blob = pickle.load(f)
+                ref = {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
+                treedef = jax.tree_util.tree_structure(ref)
+                restored = jax.tree_util.tree_unflatten(treedef, blob["leaves"])
+                state["opt_s"], state["opt_r"] = restored["opt_s"], restored["opt_r"]
+            except Exception as e:
+                print(f"#. Warning: could not restore optimizer sidecar ({e}); Adam moments reset")
+        return int(ckpt["iter"]), state
+
+    # ------------------------------------------------------------------- stats
+    def log_progress(self, iteration, mean_iter_time, elapsed_time, eta):
+        stats = self.stat_tracker.get_means()
+        with open(self.stats_json) as f:
+            stats_dict = json.load(f)
+        stats_dict.update({iteration: stats})
+        with open(self.stats_json, "w") as f:
+            json.dump(stats_dict, f)
+        self.stat_tracker.flush()
+
+        update_progress(
+            "  \\__.Training [bs: {}] [iter: {:06d}/{:06d}] ".format(
+                self.params.batch_size, iteration, self.params.max_iter
+            ),
+            self.params.max_iter,
+            iteration + 1,
+        )
+        if iteration < self.params.max_iter - 1:
+            print()
+        print("      \\__Batch accuracy      : {:.03f}".format(stats["accuracy"]))
+        print("      \\__Classification loss : {:.08f}".format(stats["classification_loss"]))
+        print("      \\__Regression loss     : {:.08f}".format(stats["regression_loss"]))
+        print("      \\__Total loss          : {:.08f}".format(stats["total_loss"]))
+        print("         ===================================================================")
+        print("      \\__Mean iter time      : {:.3f} sec".format(mean_iter_time))
+        print("      \\__Elapsed time        : {}".format(sec2dhms(elapsed_time)))
+        print("      \\__ETA                 : {}".format(sec2dhms(eta)))
+        print("         ===================================================================")
+        update_stdout(10)
+
+    # ------------------------------------------------------------------- train
+    def train(self, generator, support_sets, reconstructor, profile: bool = False):
+        """Run the contrastive training loop (reference trainer.py:129-319).
+
+        Args:
+            generator:     GeneratorBundle (frozen).
+            support_sets:  SupportSets config.
+            reconstructor: Reconstructor config.
+        """
+        p = self.params
+        cfg = TrainStepConfig(
+            batch_size=p.batch_size,
+            num_support_sets=p.num_support_sets,
+            min_shift_magnitude=p.min_shift_magnitude,
+            max_shift_magnitude=p.max_shift_magnitude,
+            lambda_cls=p.lambda_cls,
+            lambda_reg=p.lambda_reg,
+            support_set_lr=p.support_set_lr,
+            reconstructor_lr=p.reconstructor_lr,
+            z_truncation=getattr(p, "z_truncation", None),
+            shift_in_w_space=bool(getattr(p, "shift_in_w_space", False)),
+        )
+
+        seed_key = jax.random.key(self.seed)
+        state = init_train_state(seed_key, generator, support_sets, reconstructor, cfg)
+
+        # Save initial support sets (reference trainer.py:139).
+        save_pt(
+            support_sets.to_torch_state_dict(state["s_params"]),
+            osp.join(self.models_dir, "support_sets_init.pt"),
+        )
+
+        starting_iter, state = self.get_starting_iteration(
+            support_sets, reconstructor, state
+        )
+
+        if starting_iter == p.max_iter:
+            print("#. This experiment has already been completed and can be found @ {}".format(self.wip_dir))
+            print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
+            try:
+                shutil.copytree(
+                    src=self.wip_dir,
+                    dst=self.complete_dir,
+                    ignore=shutil.ignore_patterns("checkpoint.pt"),
+                )
+                print("  \\__Done!")
+            except (IOError, FileExistsError) as e:
+                print("  \\__Already exists -- {}".format(e))
+            sys.exit()
+        print("#. Start training from iteration {}".format(starting_iter))
+
+        step = make_train_step(generator, support_sets, reconstructor, cfg, mesh=self.mesh)
+        g_params = generator.params
+
+        if profile:
+            jax.profiler.start_trace(osp.join(self.wip_dir, "profile"))
+
+        t0 = time.time()
+        window_t0 = t0
+        window_iters = 0
+        pending = []  # (iteration, metrics) — fetched at the log boundary
+
+        for iteration in range(starting_iter, p.max_iter + 1):
+            state, metrics = step(state, g_params, seed_key, iteration)
+            pending.append(metrics)
+            window_iters += 1
+
+            if iteration % p.log_freq == 0:
+                # Force completion of the window, then account wall time.
+                jax.block_until_ready(metrics)
+                for m in pending:
+                    host = {k: float(v) for k, v in m.items()}
+                    self.stat_tracker.update(**host)
+                    if self.tb_writer is not None:
+                        for k, v in host.items():
+                            self.tb_writer.add_scalar(k, v, iteration)
+                pending = []
+                now = time.time()
+                mean_iter_time = (now - window_t0) / max(window_iters, 1)
+                window_t0, window_iters = now, 0
+                elapsed = now - t0
+                eta = elapsed * ((p.max_iter - iteration) / max(iteration - starting_iter + 1, 1))
+                self.log_progress(iteration, mean_iter_time, elapsed, eta)
+
+            if iteration % p.ckp_freq == 0:
+                jax.block_until_ready(state["s_params"])
+                self.save_checkpoint(iteration, support_sets, reconstructor, state)
+
+        if profile:
+            jax.profiler.stop_trace()
+
+        elapsed = time.time() - t0
+
+        # Final model exports (reference trainer.py:302-308).
+        save_pt(
+            support_sets.to_torch_state_dict(state["s_params"]),
+            osp.join(self.models_dir, "support_sets.pt"),
+        )
+        save_pt(
+            _reconstructor_sd(p.reconstructor_type, state["r_params"]),
+            osp.join(self.models_dir, "reconstructor.pt"),
+        )
+
+        for _ in range(10):
+            print()
+        print("#.Training completed -- Total elapsed time: {}.".format(sec2dhms(elapsed)))
+        print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
+        try:
+            shutil.copytree(
+                src=self.wip_dir,
+                dst=self.complete_dir,
+                ignore=shutil.ignore_patterns("checkpoint.pt"),
+            )
+            print("  \\__Done!")
+        except (IOError, FileExistsError) as e:
+            print("  \\__Already exists -- {}".format(e))
+        return state

@@ -33,9 +33,9 @@ def save_pt(obj, path: str) -> None:
         if isinstance(x, (list, tuple)):
             return type(x)(conv(v) for v in x)
         if isinstance(x, np.ndarray):
-            return torch.from_numpy(np.ascontiguousarray(x))
+            return torch.from_numpy(np.array(x, copy=True))
         if hasattr(x, "__array__"):  # jax arrays
-            return torch.from_numpy(np.ascontiguousarray(np.asarray(x)))
+            return torch.from_numpy(np.array(np.asarray(x), copy=True))
         return x
 
     torch.save(conv(obj), path)
