@@ -1,0 +1,78 @@
+"""Traversal engine tests: scan-based engine vs direct python-loop replication
+of the reference algorithm (traverse_latent_space.py:361-463)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.traverse import traverse_paths
+
+
+def _reference_loop(S, params, z0, eps, steps, leap=1):
+    """Python-loop oracle: positive appends, negative prepends, shift stored
+    with the code it produced, center = unshifted."""
+    K = S.num_support_sets
+    all_codes, all_shifts = [], []
+    for dim in range(K):
+        codes = [np.asarray(z0)]
+        shifts = [np.zeros_like(np.asarray(z0))]
+        z = jnp.asarray(z0)
+        cnt = 0
+        for _ in range(steps):
+            cnt += 1
+            s = eps * S.direction(params, z[None], jnp.array([dim]))[0]
+            z = z + s
+            if cnt == leap:
+                codes.append(np.asarray(z))
+                shifts.append(np.asarray(s))
+                cnt = 0
+        z = jnp.asarray(z0)
+        cnt = 0
+        for _ in range(steps):
+            cnt += 1
+            s = -eps * S.direction(params, z[None], jnp.array([dim]))[0]
+            z = z + s
+            if cnt == leap:
+                codes = [np.asarray(z)] + codes
+                shifts = [np.asarray(s)] + shifts
+                cnt = 0
+        all_codes.append(np.stack(codes))
+        all_shifts.append(np.stack(shifts))
+    return np.stack(all_codes), np.stack(all_shifts)
+
+
+def test_traverse_matches_reference_loop():
+    S = SupportSets(num_support_sets=3, num_support_dipoles=4, support_vectors_dim=16)
+    params = S.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 16))
+
+    codes, shifts = traverse_paths(S, params, z, eps=0.2, shift_steps=5)
+    assert codes.shape == (2, 3, 11, 16)
+    for i in range(2):
+        ref_codes, ref_shifts = _reference_loop(S, params, z[i], 0.2, 5)
+        np.testing.assert_allclose(np.asarray(codes[i]), ref_codes, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(shifts[i]), ref_shifts, rtol=1e-4, atol=1e-5)
+
+
+def test_traverse_shift_leap():
+    S = SupportSets(num_support_sets=2, num_support_dipoles=2, support_vectors_dim=8)
+    params = S.init(jax.random.key(2))
+    z = jax.random.normal(jax.random.key(3), (1, 8))
+    codes, shifts = traverse_paths(S, params, z, eps=0.1, shift_steps=6, shift_leap=2)
+    # floor(6/2)=3 per direction + center.
+    assert codes.shape == (1, 2, 7, 8)
+    ref_codes, ref_shifts = _reference_loop(S, params, z[0], 0.1, 6, leap=2)
+    np.testing.assert_allclose(np.asarray(codes[0]), ref_codes, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shifts[0]), ref_shifts, rtol=1e-4, atol=1e-5)
+
+
+def test_center_is_unshifted():
+    S = SupportSets(num_support_sets=2, num_support_dipoles=2, support_vectors_dim=8)
+    params = S.init(jax.random.key(4))
+    z = jax.random.normal(jax.random.key(5), (3, 8))
+    codes, shifts = traverse_paths(S, params, z, eps=0.15, shift_steps=4)
+    center = codes.shape[2] // 2
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(codes[:, k, center]), np.asarray(z), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(shifts[:, k, center]), 0.0)
