@@ -1,0 +1,144 @@
+"""WarpedGANSpace training CLI (TPU).
+
+Flag surface and behavior parity with reference ``train.py``; device flags:
+``--cuda/--no-cuda`` are accepted for drop-in script compatibility but ignored
+(JAX picks the TPU/CPU backend), and ``--multi-device`` (new) shards the batch
+over all visible devices via a data-parallel mesh.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from warpedganspace_tpu.config import GAN_RESOLUTIONS, GAN_WEIGHTS, RECONSTRUCTOR_TYPES
+from warpedganspace_tpu.models.gan_load import build_gan
+from warpedganspace_tpu.models.reconstructor import Reconstructor
+from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.parallel import make_mesh
+from warpedganspace_tpu.train import Trainer
+from warpedganspace_tpu.utils.aux import create_exp_dir
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="WarpedGANSpace training script (TPU-native)")
+
+    # === Pre-trained GAN Generator (G) ===
+    parser.add_argument("--gan-type", type=str, choices=list(GAN_WEIGHTS.keys()),
+                        help="set GAN generator model type")
+    parser.add_argument("--z-truncation", type=float,
+                        help="set latent code sampling truncation parameter")
+    parser.add_argument("--biggan-target-classes", nargs="+", type=int,
+                        help="list of classes for conditional BigGAN")
+    parser.add_argument("--stylegan2-resolution", type=int, default=1024, choices=(256, 1024),
+                        help="StyleGAN2 image resolution")
+    parser.add_argument("--shift-in-w-space", action="store_true",
+                        help="search latent paths in StyleGAN2's W-space")
+
+    # === Support Sets (S) ===
+    parser.add_argument("-K", "--num-support-sets", type=int,
+                        help="set number of support sets (warping functions)")
+    parser.add_argument("-D", "--num-support-dipoles", type=int,
+                        help="set number of support dipoles per support set")
+    parser.add_argument("--learn-alphas", action="store_true", help="learn RBF alpha params")
+    parser.add_argument("--learn-gammas", action="store_true", help="learn RBF gamma params")
+    parser.add_argument("-g", "--gamma", type=float,
+                        help="set RBF gamma param; when --learn-gammas is set, this will be "
+                             "the initial value of gammas of all RBFs")
+    parser.add_argument("--support-set-lr", type=float, default=1e-4, help="set learning rate")
+
+    # === Reconstructor (R) ===
+    parser.add_argument("--reconstructor-type", type=str, choices=RECONSTRUCTOR_TYPES,
+                        default="ResNet", help="set reconstructor network type")
+    parser.add_argument("--min-shift-magnitude", type=float, default=0.25,
+                        help="set minimum shift magnitude")
+    parser.add_argument("--max-shift-magnitude", type=float, default=0.45,
+                        help="set shifts magnitude scale")
+    parser.add_argument("--reconstructor-lr", type=float, default=1e-4,
+                        help="set learning rate for reconstructor R optimization")
+
+    # === Training ===
+    parser.add_argument("--max-iter", type=int, default=100000,
+                        help="set maximum number of training iterations")
+    parser.add_argument("--batch-size", type=int, default=32, help="set batch size")
+    parser.add_argument("--lambda-cls", type=float, default=1.00, help="classification loss weight")
+    parser.add_argument("--lambda-reg", type=float, default=0.25, help="regression loss weight")
+    parser.add_argument("--log-freq", default=10, type=int, help="set number iterations per log")
+    parser.add_argument("--ckp-freq", default=1000, type=int,
+                        help="set number iterations per checkpoint model saving")
+    parser.add_argument("--tensorboard", action="store_true", help="use tensorboard")
+    parser.add_argument("--seed", type=int, default=0, help="RNG seed (new; JAX threaded keys)")
+
+    # === Devices ===
+    parser.add_argument("--cuda", dest="cuda", action="store_true",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--no-cuda", dest="cuda", action="store_false",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--multi-device", action="store_true",
+                        help="shard the batch over all visible TPU devices (data parallel)")
+    parser.set_defaults(cuda=True)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # Create output dir and save current arguments (the args.json contract).
+    exp_dir = create_exp_dir(args)
+
+    print("#. Build GAN generator model G and load with pre-trained weights...")
+    print("  \\__GAN type: {}".format(args.gan_type))
+    if args.gan_type == "StyleGAN2":
+        print("  \\__Search for paths in {}-space".format("W" if args.shift_in_w_space else "Z"))
+    if args.z_truncation:
+        print("  \\__Input noise truncation: {}".format(args.z_truncation))
+    print("  \\__Pre-trained weights: {}".format(
+        GAN_WEIGHTS[args.gan_type]["weights"][args.stylegan2_resolution]
+        if args.gan_type == "StyleGAN2"
+        else GAN_WEIGHTS[args.gan_type]["weights"][GAN_RESOLUTIONS[args.gan_type]]))
+
+    G = build_gan(
+        gan_type=args.gan_type,
+        target_classes=args.biggan_target_classes,
+        stylegan2_resolution=args.stylegan2_resolution,
+        shift_in_w_space=args.shift_in_w_space,
+    )
+
+    print("#. Build Support Sets S...")
+    print("  \\__Number of Support Sets    : {}".format(args.num_support_sets))
+    print("  \\__Number of Support Dipoles : {}".format(args.num_support_dipoles))
+    print("  \\__Support Vectors dim       : {}".format(G.dim_z))
+    print("  \\__Learn RBF alphas          : {}".format(args.learn_alphas))
+    print("  \\__Learn RBF gammas          : {}".format(args.learn_gammas))
+    if not args.learn_gammas:
+        print("  \\__RBF gamma                 : {}".format(
+            1.0 / G.dim_z if args.gamma is None else args.gamma))
+
+    S = SupportSets(
+        num_support_sets=args.num_support_sets,
+        num_support_dipoles=args.num_support_dipoles,
+        support_vectors_dim=G.dim_z,
+        learn_alphas=args.learn_alphas,
+        learn_gammas=args.learn_gammas,
+        gamma=1.0 / G.dim_z if args.gamma is None else args.gamma,
+    )
+
+    print("#. Build reconstructor model R...")
+    R = Reconstructor(
+        reconstructor_type=args.reconstructor_type,
+        dim=args.num_support_sets,
+        channels=1 if args.gan_type == "SNGAN_MNIST" else 3,
+    )
+
+    mesh = None
+    if args.multi_device and len(jax.devices()) > 1:
+        mesh = make_mesh()
+        print("#. Data-parallel mesh over {} devices".format(len(jax.devices())))
+
+    print("#. Experiment: {}".format(exp_dir))
+    trn = Trainer(params=args, exp_dir=exp_dir, mesh=mesh, seed=args.seed)
+    trn.train(generator=G, support_sets=S, reconstructor=R)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Latent-space traversal CLI (parity: reference ``traverse_latent_space.py``).
+
+Traverses the latent space of a trained experiment's GAN along the K warped
+paths for every latent code of a pool, writing the reference results tree:
+
+    <EXP_DIR>/results/<pool>/<2*steps>_<eps>_<len>/<hash>/
+        paths_images/path_<k>/<t:06d>.jpg
+        paths_latent_codes.pt
+        original_image.jpg
+    (+ paths_gifs/path_<k>.gif with --gif)
+
+TPU-first: the whole (codes x paths x steps) traversal is ONE compiled
+lax.scan program (see traverse/engine.py); only JPEG encoding stays on host.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from warpedganspace_tpu.models.gan_load import build_gan
+from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.traverse import render_codes, tensor2image, traverse_paths
+from warpedganspace_tpu.traverse.gifs import collate_traversal_gifs
+from warpedganspace_tpu.utils.aux import update_progress, update_stdout
+from warpedganspace_tpu.utils.io import load_pt, save_pt
+
+
+class ModelArgs:
+    def __init__(self, **kwargs):
+        self.__dict__.update(kwargs)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="WarpedGANSpace latent space traversal script")
+    parser.add_argument("-v", "--verbose", action="store_true", help="set verbose mode on")
+    parser.add_argument("--exp", type=str, required=True,
+                        help="set experiment's model dir (created by `train.py`)")
+    parser.add_argument("--pool", type=str, required=True,
+                        help="directory of pre-defined pool of latent codes (created by `sample_gan.py`)")
+    parser.add_argument("--shift-steps", type=int, default=16,
+                        help="set number of shifts per positive/negative path direction")
+    parser.add_argument("--eps", type=float, default=0.2, help="set shift step magnitude")
+    parser.add_argument("--shift-leap", type=int, default=1,
+                        help="set path shift leap (after how many steps to generate images)")
+    parser.add_argument("--batch-size", type=int,
+                        help="set generator batch size (if not set, use the total number of images per path)")
+    parser.add_argument("--img-size", type=int,
+                        help="set size of saved generated images (if not set, use the output "
+                             "size of the respective GAN generator)")
+    parser.add_argument("--img-quality", type=int, default=75, help="set JPEG image quality")
+    parser.add_argument("--gif", action="store_true", help="Create GIF traversals")
+    parser.add_argument("--gif-size", type=int, default=256, help="set gif resolution")
+    parser.add_argument("--gif-fps", type=int, default=30, help="set gif frame rate")
+    parser.add_argument("--cuda", dest="cuda", action="store_true",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--no-cuda", dest="cuda", action="store_false",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.set_defaults(cuda=True)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if not osp.isdir(args.exp):
+        raise NotADirectoryError("Invalid given directory: {}".format(args.exp))
+    args_json_file = osp.join(args.exp, "args.json")
+    if not osp.isfile(args_json_file):
+        raise FileNotFoundError("File not found: {}".format(args_json_file))
+    args_json = ModelArgs(**json.load(open(args_json_file)))
+    gan_type = args_json.gan_type
+
+    models_dir = osp.join(args.exp, "models")
+    if not osp.isdir(models_dir):
+        raise NotADirectoryError("Invalid models directory: {}".format(models_dir))
+
+    # Final support_sets.pt, else the newest support_sets-<iter>.pt checkpoint
+    # (reference traverse_latent_space.py:200-208).
+    support_sets_model = osp.join(models_dir, "support_sets.pt")
+    if not osp.isfile(support_sets_model):
+        ckpts = sorted(f for f in os.listdir(models_dir) if "support_sets-" in f)
+        if not ckpts:
+            raise FileNotFoundError("No support sets weights found under {}".format(models_dir))
+        support_sets_model = osp.join(models_dir, ckpts[-1])
+
+    # Pool directory (reference :220-231).
+    pool = osp.join("experiments", "latent_codes")
+    if gan_type == "BigGAN":
+        classes = ""
+        for c in args_json.biggan_target_classes:
+            classes += "-{}".format(c)
+        pool = osp.join(pool, gan_type + classes, args.pool)
+    else:
+        pool = osp.join(pool, gan_type, args.pool)
+    if not osp.isdir(pool):
+        raise NotADirectoryError(
+            "Invalid pool directory: {} -- Please run sample_gan.py to create it.".format(pool))
+
+    if args.verbose:
+        print("#. Build GAN generator model G and load with pre-trained weights...")
+        print("  \\__GAN type: {}".format(gan_type))
+
+    shift_in_w_space = bool(getattr(args_json, "shift_in_w_space", False))
+    G = build_gan(
+        gan_type=gan_type,
+        target_classes=getattr(args_json, "biggan_target_classes", None),
+        stylegan2_resolution=getattr(args_json, "stylegan2_resolution", 1024),
+        shift_in_w_space=shift_in_w_space,
+    )
+
+    if args.verbose:
+        print("#. Build support sets model S...")
+        print("  \\__Pre-trained weights: {}".format(support_sets_model))
+
+    S = SupportSets(
+        num_support_sets=args_json.num_support_sets,
+        num_support_dipoles=args_json.num_support_dipoles,
+        support_vectors_dim=G.dim_z,
+        learn_alphas=args_json.learn_alphas,
+        learn_gammas=args_json.learn_gammas,
+        gamma=1.0 / G.dim_z if args_json.gamma is None else args_json.gamma,
+    )
+    s_params = S.from_torch_state_dict(load_pt(support_sets_model))
+    num_gen_paths = S.num_support_sets
+
+    out_dir = osp.join(
+        args.exp, "results", args.pool,
+        "{}_{}_{}".format(2 * args.shift_steps, args.eps,
+                          round(2 * args.shift_steps * args.eps, 3)))
+    os.makedirs(out_dir, exist_ok=True)
+
+    if args.batch_size is None:
+        args.batch_size = 2 * args.shift_steps + 1
+
+    # Latent codes pool.
+    if args.verbose:
+        print("#. Use latent codes from pool {}...".format(args.pool))
+    latent_codes_dirs = sorted(
+        d for d in os.listdir(pool) if osp.isdir(osp.join(pool, d)))
+    zs = np.concatenate(
+        [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]
+    ).astype(np.float32)
+    num_of_latent_codes = zs.shape[0]
+
+    if args.verbose:
+        print("#. Traverse latent space...")
+        print("  \\__Experiment       : {}".format(osp.basename(osp.abspath(args.exp))))
+        print("  \\__Shift magnitude  : {}".format(args.eps))
+        print("  \\__Shift steps      : {}".format(2 * args.shift_steps))
+        print("  \\__Traversal length : {}".format(round(2 * args.shift_steps * args.eps, 3)))
+        print("  \\__Save results at  : {}".format(out_dir))
+
+    # One compiled program integrates ALL (codes x paths x steps).
+    latents = jnp.asarray(zs)
+    if shift_in_w_space:
+        latents = G.get_w(G.params, latents)
+    codes, shifts = traverse_paths(
+        S, s_params, latents, eps=args.eps, shift_steps=args.shift_steps,
+        shift_leap=args.shift_leap)
+    codes_np = np.asarray(codes)
+
+    for i in range(num_of_latent_codes):
+        latent_code_hash = latent_codes_dirs[i]
+        if args.verbose:
+            update_progress(
+                "  \\__.Latent code hash: {} [{:03d}/{:03d}] ".format(
+                    latent_code_hash, i + 1, num_of_latent_codes),
+                num_of_latent_codes, i)
+
+        latent_code_dir = osp.join(out_dir, "{}".format(latent_code_hash))
+        os.makedirs(latent_code_dir, exist_ok=True)
+        transformed_images_root_dir = osp.join(latent_code_dir, "paths_images")
+        os.makedirs(transformed_images_root_dir, exist_ok=True)
+
+        for dim in range(num_gen_paths):
+            if args.verbose:
+                print()
+                update_progress(
+                    "      \\__path: {:03d}/{:03d} ".format(dim + 1, num_gen_paths),
+                    num_gen_paths, dim + 1)
+
+            imgs = render_codes(
+                G, G.params, codes[i, dim], shifts[i, dim],
+                batch_size=args.batch_size, latent_is_w=shift_in_w_space)
+
+            transformed_images_dir = osp.join(
+                transformed_images_root_dir, "path_{:03d}".format(dim))
+            os.makedirs(transformed_images_dir, exist_ok=True)
+            for t in range(imgs.shape[0]):
+                pil = tensor2image(imgs[t], img_size=args.img_size, adaptive=True)
+                pil.save(osp.join(transformed_images_dir, "{:06d}.jpg".format(t)),
+                         "JPEG", quality=args.img_quality, optimize=True, progressive=True)
+                if (t == imgs.shape[0] // 2) and (dim == 0):
+                    pil.save(osp.join(latent_code_dir, "original_image.jpg"),
+                             "JPEG", quality=95, optimize=True, progressive=True)
+            if args.verbose:
+                update_stdout(1)
+
+        # (K, T, dim) latent codes of all paths for this sample (reference :488-490).
+        save_pt(codes_np[i], osp.join(latent_code_dir, "paths_latent_codes.pt"))
+
+        if args.verbose:
+            update_stdout(1)
+            print()
+            print()
+
+    if args.gif:
+        collate_traversal_gifs(
+            out_dir, num_gen_paths, gif_size=args.gif_size, gif_fps=args.gif_fps,
+            verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main()
