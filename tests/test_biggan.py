@@ -1,0 +1,86 @@
+"""BigGAN generator parity vs the reference torch implementation (random
+weights, eval mode, SN folded through the converter)."""
+import json
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.reference_utils import add_reference_to_path, state_dict_numpy, torch_or_skip
+
+
+@pytest.fixture(scope="module")
+def ref_biggan():
+    torch = torch_or_skip()
+    add_reference_to_path()
+    from models.BigGAN import BigGAN, utils
+
+    with open("/root/reference/models/BigGAN/generator_config.json") as f:
+        config = json.load(f)
+    config["resolution"] = utils.imsize_dict[config["dataset"]]
+    config["n_classes"] = utils.nclass_dict[config["dataset"]]
+    config["G_activation"] = utils.activation_dict[config["G_nl"]]
+    config["D_activation"] = utils.activation_dict[config["D_nl"]]
+    config["skip_init"] = True
+    config["no_optim"] = True
+
+    torch.manual_seed(0)
+    G = BigGAN.Generator(**config)
+    # Give BN layers / SN buffers non-trivial values so every code path is
+    # actually exercised at eval.
+    with torch.no_grad():
+        for name, buf in G.named_buffers():
+            if name.endswith("stored_mean"):
+                buf.normal_(0, 0.1)
+            elif name.endswith("stored_var"):
+                buf.uniform_(0.6, 1.5)
+    G.eval()
+    return torch, G
+
+
+def test_biggan_forward_parity(ref_biggan):
+    torch, G = ref_biggan
+    from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict
+    from warpedganspace_tpu.models.biggan import BigGANGenerator
+
+    gen = BigGANGenerator(target_classes=(239,))
+    params = biggan_params_from_state_dict(state_dict_numpy(G))
+    assert len(params["blocks"]) == 5
+    assert "attention" in params["blocks"][3]
+
+    rng = np.random.RandomState(0)
+    B = 2
+    z = rng.randn(B, 120).astype(np.float32)
+    shift = 0.1 * rng.randn(B, 120).astype(np.float32)
+    y = np.array([239, 239])
+
+    with torch.no_grad():
+        y_t = torch.from_numpy(y)
+        ref_img = G(torch.from_numpy(z + shift), G.shared(y_t)).numpy()
+
+    img = np.asarray(
+        gen.apply(params, jnp.asarray(z), jnp.asarray(shift), y=jnp.asarray(y))
+    ).transpose(0, 3, 1, 2)
+    assert img.shape == ref_img.shape == (B, 3, 128, 128)
+
+    peak = ref_img.max() - ref_img.min()
+    psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
+    assert psnr > 40.0, f"PSNR {psnr:.1f} dB"
+    np.testing.assert_allclose(img, ref_img, rtol=5e-2, atol=5e-3)
+
+
+def test_biggan_default_class_sampling(ref_biggan):
+    _, G = ref_biggan
+    from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict
+    from warpedganspace_tpu.models.biggan import BigGANGenerator
+
+    gen = BigGANGenerator(target_classes=(14, 239))
+    params = biggan_params_from_state_dict(state_dict_numpy(G))
+    z = jnp.asarray(np.random.RandomState(1).randn(4, 120).astype(np.float32))
+    img = gen.apply(params, z)  # classes drawn internally
+    assert img.shape == (4, 128, 128, 3)
+    # Deterministic: same z -> same classes -> same image.
+    img2 = gen.apply(params, z)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(img2), rtol=1e-6)

@@ -1,0 +1,225 @@
+"""BigGAN 128x128 class-conditional ImageNet generator (ch=96, hier-z).
+
+Behavioral parity with reference ``models/BigGAN/BigGAN.py`` + ``layers.py``
+under the shipped ``generator_config.json`` (G_ch=96, dim_z=120, hier=True,
+G_shared=True, shared_dim=128, attention at 64x64, SN param, bn norm style,
+cross_replica=False, mybn=False):
+
+- Hierarchical latent: z is split into 6 chunks of 20; chunk 0 feeds the first
+  linear, chunks 1..5 are concatenated with the 128-d shared class embedding to
+  condition each block (BigGAN.py:102-111, 224-229).
+- GBlock: ccbn -> ReLU -> 2x nearest-up -> conv3x3 -> ccbn -> ReLU -> conv3x3,
+  plus a 1x1 shortcut on the upsampled input (layers.py:372-405).
+- ccbn at eval: batch-norm with stored stats (no affine), then per-sample
+  class-conditional gain (1 + Linear(y)) and bias Linear(y) (layers.py:275-326).
+  Training runs G in eval mode (reference trainer.py:144), so stored stats are
+  always used.
+- SA-GAN attention at 64x64 (layers.py:141-166).
+- Output: affine BN -> ReLU -> conv3x3 -> tanh (BigGAN.py:170-174, 242-243).
+
+TPU-first notes:
+
+- Spectral normalization is folded into the weights at conversion time: at eval
+  the reference runs one power-iteration step from the stored u buffer with
+  update=False (layers.py:85-95, 30-47) — a deterministic scalar divide, which
+  the converter reproduces in numpy once. apply() therefore touches plain
+  dense weights only.
+- Attention is expressed with einsum over (B, HW, C) tensors — two batched
+  matmuls on the MXU — instead of reshape/bmm chains.
+- Class sampling (BigGANWrapper.mixed_classes, gan_load.py:73-77): when ``y``
+  is not given, a class per batch element is drawn from ``target_classes`` with
+  a key derived deterministically from the z values. Deliberate deviation: the
+  reference redraws classes independently on every forward, so the (original,
+  shifted) training pair can get DIFFERENT classes when several target classes
+  are configured; deriving the key from z makes the pair consistent (identical
+  behavior for a single target class, which all reference scripts use).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from warpedganspace_tpu.nn import core as nn
+
+
+def biggan_arch(ch: int = 96, resolution: int = 128) -> dict:
+    """Generator architecture table (reference BigGAN.py:13-52)."""
+    tables = {
+        128: {
+            "in_channels": [ch * m for m in [16, 16, 8, 4, 2]],
+            "out_channels": [ch * m for m in [16, 8, 4, 2, 1]],
+            "resolution": [8, 16, 32, 64, 128],
+        },
+        256: {
+            "in_channels": [ch * m for m in [16, 16, 8, 8, 4, 2]],
+            "out_channels": [ch * m for m in [16, 8, 8, 4, 2, 1]],
+            "resolution": [8, 16, 32, 64, 128, 256],
+        },
+    }
+    arch = tables[resolution]
+    arch["attention"] = [r == 64 for r in arch["resolution"]]
+    return arch
+
+
+def _ccbn(p: dict, x, cond, eps: float = 1e-5):
+    """Class-conditional BN, eval mode (layers.py:303-322)."""
+    mean, var = p["mean"], p["var"]
+    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
+    gain = 1.0 + nn.linear(p["gain"], cond)   # (B, C)
+    bias = nn.linear(p["bias"], cond)
+    return xhat * gain[:, None, None, :] + bias[:, None, None, :]
+
+
+def _attention(p: dict, x):
+    """SA-GAN non-local block (layers.py:141-166). x: (B, H, W, C)."""
+    b, h, w, c = x.shape
+    theta = nn.conv2d(p["theta"], x)                       # (B, H, W, C/8)
+    phi = nn.max_pool(nn.conv2d(p["phi"], x), 2, 2)        # (B, H/2, W/2, C/8)
+    g = nn.max_pool(nn.conv2d(p["g"], x), 2, 2)            # (B, H/2, W/2, C/2)
+
+    theta = theta.reshape(b, h * w, c // 8)
+    phi = phi.reshape(b, (h * w) // 4, c // 8)
+    g = g.reshape(b, (h * w) // 4, c // 2)
+
+    beta = jax.nn.softmax(
+        jnp.einsum("bnc,bmc->bnm", theta, phi), axis=-1
+    )  # (B, HW, HW/4)
+    o = jnp.einsum("bnm,bmc->bnc", beta, g).reshape(b, h, w, c // 2)
+    o = nn.conv2d(p["o"], o)
+    return p["gamma"] * o + x
+
+
+def _gblock(p: dict, x, cond):
+    """Generator residual block (layers.py:372-405); always upsamples here."""
+    h = jax.nn.relu(_ccbn(p["bn1"], x, cond))
+    h = nn.upsample_nearest(h, 2)
+    x = nn.upsample_nearest(x, 2)
+    h = nn.conv2d(p["conv1"], h, padding=1)
+    h = jax.nn.relu(_ccbn(p["bn2"], h, cond))
+    h = nn.conv2d(p["conv2"], h, padding=1)
+    x = nn.conv2d(p["conv_sc"], x, padding=0)
+    return h + x
+
+
+@dataclasses.dataclass(frozen=True)
+class BigGANGenerator:
+    resolution: int = 128
+    ch: int = 96
+    dim_z: int = 120
+    shared_dim: int = 128
+    n_classes: int = 1000
+    bottom_width: int = 4
+    target_classes: tuple[int, ...] = (239,)
+
+    @property
+    def arch(self) -> dict:
+        return biggan_arch(self.ch, self.resolution)
+
+    @property
+    def num_slots(self) -> int:
+        return len(self.arch["in_channels"]) + 1
+
+    @property
+    def z_chunk_size(self) -> int:
+        return self.dim_z // self.num_slots
+
+    # -------------------------------------------------------------------- init
+    def init(self, key: jax.Array) -> dict:
+        arch = self.arch
+        keys = iter(jax.random.split(key, 128))
+        cond_dim = self.shared_dim + self.z_chunk_size
+
+        def lin(i, o, bias=True):
+            p = {"w": 0.02 * jax.random.normal(next(keys), (i, o))}
+            if bias:
+                p["b"] = jnp.zeros((o,))
+            return p
+
+        def conv(i, o, k, bias=True):
+            p = {"w": 0.02 * jax.random.normal(next(keys), (k, k, i, o))}
+            if bias:
+                p["b"] = jnp.zeros((o,))
+            return p
+
+        def ccbn_init(c):
+            return {
+                "gain": lin(cond_dim, c, bias=False),
+                "bias": lin(cond_dim, c, bias=False),
+                "mean": jnp.zeros((c,)),
+                "var": jnp.ones((c,)),
+            }
+
+        params = {
+            "shared_embed": 0.02 * jax.random.normal(next(keys), (self.n_classes, self.shared_dim)),
+            "linear": lin(self.z_chunk_size, arch["in_channels"][0] * self.bottom_width**2),
+            "blocks": [],
+            "out_bn": nn.batch_norm_init(arch["out_channels"][-1]),
+            "out_conv": conv(arch["out_channels"][-1], 3, 3),
+        }
+        for i, (cin, cout) in enumerate(zip(arch["in_channels"], arch["out_channels"])):
+            block = {
+                "bn1": ccbn_init(cin),
+                "conv1": conv(cin, cout, 3),
+                "bn2": ccbn_init(cout),
+                "conv2": conv(cout, cout, 3),
+                "conv_sc": conv(cin, cout, 1),
+            }
+            if arch["attention"][i]:
+                block["attention"] = {
+                    "theta": conv(cout, cout // 8, 1, bias=False),
+                    "phi": conv(cout, cout // 8, 1, bias=False),
+                    "g": conv(cout, cout // 2, 1, bias=False),
+                    "o": conv(cout // 2, cout, 1, bias=False),
+                    "gamma": jnp.zeros(()),
+                }
+            params["blocks"].append(block)
+        return params
+
+    # ----------------------------------------------------------------- classes
+    def mixed_classes(self, z: jax.Array, y=None) -> jax.Array:
+        """Per-sample target class (see class docstring for the determinism
+        deviation vs BigGANWrapper.mixed_classes)."""
+        if y is not None:
+            return y
+        classes = jnp.asarray(self.target_classes, dtype=jnp.int32)
+        if len(self.target_classes) == 1:
+            return jnp.broadcast_to(classes, (z.shape[0],))
+        salt = jnp.abs(jnp.sum(jax.lax.bitcast_convert_type(z[:, 0], jnp.int32)))
+        key = jax.random.fold_in(jax.random.key(0), salt)
+        return classes[jax.random.randint(key, (z.shape[0],), 0, len(self.target_classes))]
+
+    # ------------------------------------------------------------------- apply
+    def apply(self, params: dict, z: jax.Array, shift=None, y=None):
+        """G(z + shift, shared(y)) -> (B, 128, 128, 3) in tanh range
+        (BigGANWrapper.forward, gan_load.py:79-81; Generator.forward,
+        BigGAN.py:222-243)."""
+        y = self.mixed_classes(z, y)
+        if shift is not None:
+            z = z + shift
+        y_embed = jnp.take(params["shared_embed"], y, axis=0)  # (B, shared_dim)
+
+        # Hierarchical z: 6 chunks of 20.
+        chunks = [
+            z[:, i * self.z_chunk_size : (i + 1) * self.z_chunk_size]
+            for i in range(self.num_slots)
+        ]
+        z0, zs = chunks[0], chunks[1:]
+        conds = [jnp.concatenate([y_embed, zc], axis=1) for zc in zs]
+
+        h = nn.linear(params["linear"], z0)
+        c0 = self.arch["in_channels"][0]
+        # Torch reshape (B, C, 4, 4) C-order -> NHWC.
+        h = h.reshape(z.shape[0], c0, self.bottom_width, self.bottom_width)
+        h = h.transpose(0, 2, 3, 1)
+
+        for i, block in enumerate(params["blocks"]):
+            h = _gblock(block, h, conds[i])
+            if "attention" in block:
+                h = _attention(block["attention"], h)
+
+        h = nn.batch_norm(params["out_bn"], h, train=False)
+        h = jax.nn.relu(h)
+        h = nn.conv2d(params["out_conv"], h, padding=1)
+        return jnp.tanh(h)
