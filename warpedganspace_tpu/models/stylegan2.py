@@ -125,10 +125,11 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
     return x
 
 
-def styled_conv(p: dict, x, style, noise=None):
+def styled_conv(p: dict, x, style, noise=None, upsample: bool = False):
     """StyledConv: modulated conv + noise injection + fused bias/leaky-relu
-    (reference :252-267)."""
-    x = modulated_conv2d(p, x, style, demodulate=True, upsample=p["upsample"])
+    (reference :252-267). ``upsample`` is static structure (convs alternate
+    up/plain), NOT a params leaf — a bool leaf would be traced under jit."""
+    x = modulated_conv2d(p, x, style, demodulate=True, upsample=upsample)
     if noise is not None:
         x = x + p["noise_weight"] * noise
     return fused_leaky_relu(x, p["act_bias"])
@@ -183,14 +184,13 @@ class StyleGAN2Generator:
                 "b": jnp.full((out_dim,), bias_init),
             }
 
-        def styled(in_ch, out_ch, k, up, res):
+        def styled(in_ch, out_ch, k):
             scale = 1.0 / math.sqrt(in_ch * k * k)
             return {
                 "w": jax.random.normal(next(keys), (k, k, in_ch, out_ch)) * scale,
                 "mod": eq_linear(self.style_dim, in_ch, bias_init=1.0),
                 "noise_weight": jnp.zeros(()),
                 "act_bias": jnp.zeros((out_ch,)),
-                "upsample": up,
             }
 
         def rgb(in_ch):
@@ -199,7 +199,6 @@ class StyleGAN2Generator:
                 "w": jax.random.normal(next(keys), (1, 1, in_ch, 3)) * scale,
                 "mod": eq_linear(self.style_dim, in_ch, bias_init=1.0),
                 "bias": jnp.zeros((3,)),
-                "upsample": False,
             }
 
         params = {
@@ -208,7 +207,7 @@ class StyleGAN2Generator:
                 for _ in range(self.n_mlp)
             ],
             "const_input": jax.random.normal(next(keys), (1, 4, 4, ch[4])),
-            "conv1": styled(ch[4], ch[4], 3, False, 4),
+            "conv1": styled(ch[4], ch[4], 3),
             "to_rgb1": rgb(ch[4]),
             "convs": [],
             "to_rgbs": [],
@@ -222,8 +221,8 @@ class StyleGAN2Generator:
         in_ch = ch[4]
         for i in range(3, self.log_size + 1):
             out_ch = ch[2**i]
-            params["convs"].append(styled(in_ch, out_ch, 3, True, 2**i))
-            params["convs"].append(styled(out_ch, out_ch, 3, False, 2**i))
+            params["convs"].append(styled(in_ch, out_ch, 3))
+            params["convs"].append(styled(out_ch, out_ch, 3))
             params["to_rgbs"].append(rgb(out_ch))
             in_ch = out_ch
         return params
@@ -279,7 +278,7 @@ class StyleGAN2Generator:
         for idx in range(len(params["to_rgbs"])):
             conv_up = params["convs"][2 * idx]
             conv = params["convs"][2 * idx + 1]
-            out = styled_conv(conv_up, out, latent[:, i], noise[2 * idx + 1])
+            out = styled_conv(conv_up, out, latent[:, i], noise[2 * idx + 1], upsample=True)
             out = styled_conv(conv, out, latent[:, i + 1], noise[2 * idx + 2])
             skip = to_rgb(params["to_rgbs"][idx], out, latent[:, i + 2], skip)
             i += 2
