@@ -28,7 +28,7 @@ import time
 BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
 
 BATCH = 8          # render batch per device
-RENDER_ITERS = 12  # timed iterations
+RENDER_ITERS = 12
 WARMUP = 3
 
 
@@ -43,11 +43,19 @@ def _measure_tpu():
     from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
     from warpedganspace_tpu.models.support_sets import SupportSets
 
+    def log(msg):
+        print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+    _t_start = time.perf_counter()
     gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
-    params = gen.init(jax.random.key(0))
+    # Jit the inits: eager init dispatches hundreds of tiny ops, which is
+    # pathological over a remote-tunnel backend.
+    params = jax.jit(gen.init)(jax.random.key(0))
     S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                     support_vectors_dim=512, learn_gammas=True)
-    s_params = S.init(jax.random.key(1))
+    s_params = jax.jit(S.init)(jax.random.key(1))
+    jax.block_until_ready(params)
+    log("params initialized")
 
     # --- traversal render throughput (the headline) ------------------------
     @jax.jit
@@ -56,12 +64,21 @@ def _measure_tpu():
 
     w = jax.random.normal(jax.random.key(2), (BATCH, 512))
     shift = 0.1 * jax.random.normal(jax.random.key(3), (BATCH, 512))
+    log("compiling render...")
     for _ in range(WARMUP):
         jax.block_until_ready(render(params, w, shift))
+    log("render warmup done")
+    # NOTE: on the experimental axon platform block_until_ready can return
+    # before execution completes; a device_get of a reduction is the reliable
+    # completion barrier, so every timed region ends with one.
+    def sync(x):
+        return float(jnp.sum(x))
+
+    sync(render(params, w, shift))
     t0 = time.perf_counter()
     for _ in range(RENDER_ITERS):
         out = render(params, w, shift)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     images_per_sec = BATCH * RENDER_ITERS / dt
 
@@ -73,12 +90,14 @@ def _measure_tpu():
     def warp(s_params, zb, idx):
         return S.direction(s_params, zb, idx)
 
-    jax.block_until_ready(warp(s_params, zb, idx))
+    log(f"render: {BATCH * RENDER_ITERS / dt:.2f} img/s")
+    sync(warp(s_params, zb, idx))
+    log("warp warmup done")
     t0 = time.perf_counter()
     reps = 50
     for _ in range(reps):
         o = warp(s_params, zb, idx)
-    jax.block_until_ready(o)
+    sync(o)
     warp_evals_per_sec = 4096 * reps / (time.perf_counter() - t0)
 
     # --- full train step/sec (SNGAN_MNIST reference config, bs=128) --------
@@ -89,22 +108,23 @@ def _measure_tpu():
 
     sg = SNGANGenerator.from_gan_type("SNGAN_MNIST")
     G = GeneratorBundle(name="SNGAN_MNIST", dim_z=128, resolution=32, out_channels=1,
-                        params=sg.init(jax.random.key(6)), apply_fn=sg.apply)
+                        params=jax.jit(sg.init)(jax.random.key(6)), apply_fn=sg.apply)
     S2 = SupportSets(num_support_sets=64, num_support_dipoles=128,
                      support_vectors_dim=128, learn_gammas=True)
     R = Reconstructor("LeNet", dim=64, channels=1)
     cfg = TrainStepConfig(batch_size=128, num_support_sets=64,
                           min_shift_magnitude=0.15, max_shift_magnitude=0.25)
     key = jax.random.key(7)
-    state = init_train_state(key, G, S2, R, cfg)
+    state = jax.jit(lambda k: init_train_state(k, G, S2, R, cfg))(key)
+    log("train state initialized")
     step = make_train_step(G, S2, R, cfg, donate=False)
     state, m = step(state, G.params, key, 1)
-    jax.block_until_ready(m)
+    sync(m["total_loss"])
     t0 = time.perf_counter()
     reps = 20
     for it in range(2, 2 + reps):
         state, m = step(state, G.params, key, it)
-    jax.block_until_ready(m)
+    sync(m["total_loss"])
     train_steps_per_sec = reps / (time.perf_counter() - t0)
 
     return {
