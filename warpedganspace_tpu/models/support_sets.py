@@ -117,6 +117,28 @@ class SupportSets:
             params["support_sets"], params["alphas"], self.gammas(params), z, idx
         )
 
+    def direction_all_sets(self, params: dict, z: jax.Array) -> jax.Array:
+        """Directions of ALL K warping functions at per-set points z (N, K, d).
+
+        The traversal formulation — every set is used for every code, so set
+        selection becomes K-batched matmuls with no gather
+        (ops/rbf.warp_grad_all_sets).
+        """
+        return rbf.warp_grad_all_sets(
+            params["support_sets"], params["alphas"], self.gammas(params), z
+        )
+
+    def direction_fused(self, params: dict, z: jax.Array, idx: jax.Array) -> jax.Array:
+        """Pallas TPU kernel variant of :meth:`direction` (fused gather +
+        distance/exp/reduce/normalize in one VMEM pass; inference hot path)."""
+        from warpedganspace_tpu.ops.rbf_pallas import warp_grad_pallas
+
+        interpret = jax.devices()[0].platform != "tpu"
+        return warp_grad_pallas(
+            params["support_sets"], params["alphas"], self.gammas(params), z, idx,
+            interpret=interpret,
+        )
+
     def value(self, params: dict, z: jax.Array, idx: jax.Array) -> jax.Array:
         """f_idx(z), shape (B,)."""
         return rbf.warp_value(

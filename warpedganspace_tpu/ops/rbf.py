@@ -96,6 +96,30 @@ def warp_value(support_sets, alphas, gammas, z, idx):
 
 
 @functools.partial(jax.jit, static_argnames=("normalize",))
+def warp_grad_all_sets(support_sets, alphas, gammas, z, normalize: bool = True):
+    """Gradient field of EVERY warping function at every point — the traversal
+    formulation (each of N latent codes is advanced along all K paths, so all
+    sets are used and no gather is needed; everything is K-batched matmuls).
+
+    Args:
+        z: (N, K, d) — per-code, per-set query points.
+
+    Returns (N, K, d) directions (L2-normalized when ``normalize``).
+    """
+    sv, a = support_sets, alphas                                   # (K, 2N, d), (K, 2N)
+    z_sq = jnp.sum(z * z, axis=-1)[..., None]                      # (N, K, 1)
+    sv_sq = jnp.sum(sv * sv, axis=-1)                              # (K, 2N)
+    cross = jnp.einsum("nkd,kmd->nkm", z, sv)                      # (N, K, 2N)
+    d_sq = z_sq - 2.0 * cross + sv_sq[None]
+    w = a[None] * gammas[None] * jnp.exp(-gammas[None] * d_sq)     # (N, K, 2N)
+    w_sum = jnp.sum(w, axis=-1, keepdims=True)                     # (N, K, 1)
+    grad = -2.0 * w_sum * z + 2.0 * jnp.einsum("nkm,kmd->nkd", w, sv)
+    if normalize:
+        grad = grad / jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    return grad
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
 def warp_value_and_grad(support_sets, alphas, gammas, z, idx, normalize: bool = True):
     """Fused f(z) and grad f(z) — one distance/exp evaluation for both."""
     sv, w, e, a = _rbf_terms(support_sets, alphas, gammas, z, idx)

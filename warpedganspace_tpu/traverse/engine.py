@@ -62,13 +62,13 @@ def traverse_paths(
     k = S.num_support_sets if num_paths is None else num_paths
     n, d = latents.shape
 
-    # Row-major flatten of (codes x paths): row r = (code i, path j).
-    z0 = jnp.repeat(latents, k, axis=0)                     # (N*K, d)
-    idx = jnp.tile(jnp.arange(k, dtype=jnp.int32), n)       # (N*K,)
+    # (codes x paths) grid: every code advances along every path, so the warp
+    # uses the gather-free all-sets formulation (K-batched matmuls).
+    z0 = jnp.broadcast_to(latents[:, None, :], (n, k, d))   # (N, K, d)
 
     def make_scan(signed_eps):
         def body(z, _):
-            direction = S.direction(s_params, z, idx)
+            direction = S.direction_all_sets(s_params, z)
             shift = signed_eps * direction
             z_next = z + shift
             return z_next, (z_next, shift)
@@ -93,12 +93,11 @@ def traverse_paths(
     center_code = z0[None]
     center_shift = jnp.zeros_like(z0)[None]
 
-    codes = jnp.concatenate([neg_codes, center_code, pos_codes], axis=0)   # (T, N*K, d)
+    codes = jnp.concatenate([neg_codes, center_code, pos_codes], axis=0)   # (T, N, K, d)
     shifts = jnp.concatenate([neg_shifts, center_shift, pos_shifts], axis=0)
 
-    t = codes.shape[0]
-    codes = codes.transpose(1, 0, 2).reshape(n, k, t, d)
-    shifts = shifts.transpose(1, 0, 2).reshape(n, k, t, d)
+    codes = codes.transpose(1, 2, 0, 3)    # (N, K, T, d)
+    shifts = shifts.transpose(1, 2, 0, 3)
     return codes, shifts
 
 
