@@ -196,6 +196,10 @@ def main(argv=None):
 
         corr = path_attribute_correlations(attrs, attributes).mean(0)
 
+        # Robustness fix over the reference: top-k cannot exceed the number of
+        # discovered paths (the reference would IndexError).
+        args.top_k = min(args.top_k, n_paths)
+
         interpretable_paths_dict = {m: {a: [] for a in attributes} for m in ("corr", "corr_l1")}
         summary_md_dict = {
             a: {h: {m: {k + 1: None for k in range(args.top_k)} for m in ("corr", "corr_l1")}
