@@ -118,23 +118,24 @@ def _measure_tpu():
     if bf16_psnr > 40.0 and bf16_images_per_sec > images_per_sec:
         images_per_sec = bf16_images_per_sec
 
-    # --- warp-field evals/sec (fused f/grad-f path) ------------------------
-    zb = jax.random.normal(jax.random.key(4), (4096, 512))
-    idx = jax.random.randint(jax.random.key(5), (4096,), 0, 200)
+    # --- warp-field evals/sec: the traversal access pattern (32 codes x all
+    # K=200 paths per step) through the gather-free all-sets formulation -----
+    n_codes = 32
+    zb = jax.random.normal(jax.random.key(4), (n_codes, 200, 512))
 
     @jax.jit
-    def warp(s_params, zb, idx):
-        return S.direction(s_params, zb, idx)
+    def warp(s_params, zb):
+        return S.direction_all_sets(s_params, zb)
 
-    log(f"render: {BATCH * RENDER_ITERS / dt:.2f} img/s")
-    sync(warp(s_params, zb, idx))
+    sync(warp(s_params, zb))
     log("warp warmup done")
     t0 = time.perf_counter()
     reps = 50
     for _ in range(reps):
-        o = warp(s_params, zb, idx)
+        o = warp(s_params, zb)
     sync(o)
-    warp_evals_per_sec = 4096 * reps / (time.perf_counter() - t0)
+    warp_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
+    log(f"warp: {warp_evals_per_sec:.0f} evals/s")
 
     # --- full train step/sec (SNGAN_MNIST reference config, bs=128) --------
     from warpedganspace_tpu.models.api import GeneratorBundle

@@ -1,0 +1,85 @@
+"""Pipeline E2E variants: StyleGAN2 W-space and class-conditional BigGAN
+(random generator weights), exercising the W-space traversal path, the
+latent_is_w rendering, and BigGAN pool naming."""
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def pipeline_env(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+    return tmp_path
+
+
+def test_stylegan2_w_space_pipeline(pipeline_env):
+    from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+    sample_gan.main([
+        "-g", "StyleGAN2", "--stylegan2-resolution", "256", "--shift-in-w-space",
+        "--num-samples", "1", "--pool", "p1", "--z-truncation", "0.7",
+    ])
+    pool_dir = osp.join("experiments", "latent_codes", "StyleGAN2", "p1")
+    hashes = [d for d in os.listdir(pool_dir) if osp.isdir(osp.join(pool_dir, d))]
+    assert len(hashes) == 1
+
+    train.main([
+        "--gan-type", "StyleGAN2", "--stylegan2-resolution", "256",
+        "--shift-in-w-space", "--z-truncation", "0.7",
+        "--reconstructor-type", "LeNet",  # keep the CPU test cheap
+        "-K", "2", "-D", "2", "--learn-gammas",
+        "--min-shift-magnitude", "0.1", "--max-shift-magnitude", "0.2",
+        "--max-iter", "2", "--batch-size", "2", "--log-freq", "2", "--ckp-freq", "2",
+    ])
+    exp = osp.join(
+        "experiments", "complete",
+        "StyleGAN2-256-W-LeNet-K2-D2-LearnGammas-eps0.1_0.2",
+    )
+    assert osp.isdir(exp)
+
+    traverse_latent_space.main([
+        "--exp", exp, "--pool", "p1", "--shift-steps", "2", "--eps", "0.15",
+    ])
+    res = osp.join(exp, "results", "p1", "4_0.15_0.6")
+    sample_dir = osp.join(res, hashes[0])
+    # W-space path codes are stored (K, T, 512).
+    from warpedganspace_tpu.utils.io import load_pt
+
+    codes = np.asarray(load_pt(osp.join(sample_dir, "paths_latent_codes.pt")))
+    assert codes.shape == (2, 5, 512)
+    for k in range(2):
+        frames = os.listdir(osp.join(sample_dir, "paths_images", f"path_{k:03d}"))
+        assert len(frames) == 5
+
+
+def test_biggan_pipeline(pipeline_env):
+    from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+    sample_gan.main([
+        "-g", "BigGAN", "--biggan-target-classes", "239",
+        "--num-samples", "1", "--pool", "p2",
+    ])
+    # BigGAN pools live under the class-suffixed dir (reference sample_gan.py:72-87).
+    pool_dir = osp.join("experiments", "latent_codes", "BigGAN-239", "p2")
+    assert osp.isdir(pool_dir)
+    hashes = [d for d in os.listdir(pool_dir) if osp.isdir(osp.join(pool_dir, d))]
+
+    train.main([
+        "--gan-type", "BigGAN", "--biggan-target-classes", "239",
+        "--reconstructor-type", "LeNet",
+        "-K", "2", "-D", "2",
+        "--min-shift-magnitude", "0.1", "--max-shift-magnitude", "0.2",
+        "--max-iter", "2", "--batch-size", "2", "--log-freq", "2", "--ckp-freq", "2",
+    ])
+    exp = osp.join("experiments", "complete", "BigGAN-239-LeNet-K2-D2-eps0.1_0.2")
+    assert osp.isdir(exp)
+
+    traverse_latent_space.main([
+        "--exp", exp, "--pool", "p2", "--shift-steps", "1", "--eps", "0.2",
+    ])
+    res = osp.join(exp, "results", "p2", "2_0.2_0.4")
+    frames = os.listdir(osp.join(res, hashes[0], "paths_images", "path_000"))
+    assert len(frames) == 3

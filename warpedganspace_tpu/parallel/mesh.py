@@ -25,6 +25,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up: call once per host before :func:`make_mesh` to span
+    slices over DCN (replaces any NCCL/MPI-style init; the reference is
+    single-process and has none — SURVEY §2.5). No-op when args are absent and
+    no cluster environment is detected."""
+    import os
+
+    if coordinator_address is not None or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     """Build a 1D data-parallel mesh over all (or the given) devices."""
     if devices is None:
