@@ -95,3 +95,43 @@ def biggan_params_from_state_dict(sd: dict) -> dict:
         params["blocks"].append(block)
         i += 1
     return params
+
+
+def _sn_embed(sd, prefix):
+    """SNEmbedding (layers.py:121-135): num_outputs = num_embeddings, so the
+    power iteration runs on the (num_embeddings, dim) matrix directly."""
+    w = np.asarray(sd[prefix + ".weight"], dtype=np.float32)
+    u = np.asarray(sd[prefix + ".u0"], dtype=np.float32).reshape(1, -1)
+    sigma = _sn_sigma(w, u)
+    return jnp.asarray(w / sigma)
+
+
+def biggan_d_params_from_state_dict(sd: dict) -> dict:
+    """Reference Discriminator (BigGAN.py:281-399) -> params for
+    :class:`warpedganspace_tpu.models.biggan.BigGANDiscriminator`."""
+    params = {
+        "blocks": [],
+        "linear": _sn_linear(sd, "linear"),
+        "embed": _sn_embed(sd, "embed"),
+    }
+    i = 0
+    while f"blocks.{i}.0.conv1.weight" in sd:
+        pre = f"blocks.{i}.0."
+        block = {
+            "conv1": _sn_conv(sd, pre + "conv1"),
+            "conv2": _sn_conv(sd, pre + "conv2"),
+        }
+        if pre + "conv_sc.weight" in sd:
+            block["conv_sc"] = _sn_conv(sd, pre + "conv_sc")
+        if f"blocks.{i}.1.theta.weight" in sd:
+            apre = f"blocks.{i}.1."
+            block["attention"] = {
+                "theta": _sn_conv(sd, apre + "theta", bias=False),
+                "phi": _sn_conv(sd, apre + "phi", bias=False),
+                "g": _sn_conv(sd, apre + "g", bias=False),
+                "o": _sn_conv(sd, apre + "o", bias=False),
+                "gamma": jnp.asarray(np.asarray(sd[apre + "gamma"], dtype=np.float32).reshape(())),
+            }
+        params["blocks"].append(block)
+        i += 1
+    return params

@@ -85,3 +85,37 @@ def stylegan2_params_from_state_dict(sd: dict, resolution: int) -> dict:
         noise = _arr(sd[f"noises.noise_{i}"])  # (1, 1, H, W)
         params["noises"].append(jnp.asarray(np.transpose(noise, (0, 2, 3, 1))))
     return params
+
+
+def _eq_conv(sd, prefix, bias_key=None):
+    """EqualConv2d (model.py:86-107): fold scale = 1/sqrt(in*k^2)."""
+    w = _arr(sd[prefix + ".weight"])  # (out, in, kh, kw)
+    out_ch, in_ch, kh, kw = w.shape
+    scale = 1.0 / math.sqrt(in_ch * kh * kw)
+    p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0)) * scale)}
+    if bias_key is not None and bias_key in sd:
+        p["act_bias"] = jnp.asarray(_arr(sd[bias_key]))
+    return p
+
+
+def stylegan2_discriminator_params_from_state_dict(sd: dict, resolution: int) -> dict:
+    """Reference Discriminator (model.py:453-503) -> params for
+    :class:`warpedganspace_tpu.models.stylegan2.StyleGAN2Discriminator`."""
+    log_size = int(math.log2(resolution))
+    params = {
+        "conv_in": _eq_conv(sd, "convs.0.0", bias_key="convs.0.1.bias"),
+        "blocks": [],
+    }
+    for j in range(1, log_size - 2 + 1):
+        pre = f"convs.{j}"
+        params["blocks"].append(
+            {
+                "conv1": _eq_conv(sd, pre + ".conv1.0", bias_key=pre + ".conv1.1.bias"),
+                "conv2": _eq_conv(sd, pre + ".conv2.1", bias_key=pre + ".conv2.2.bias"),
+                "skip": _eq_conv(sd, pre + ".skip.1"),
+            }
+        )
+    params["final_conv"] = _eq_conv(sd, "final_conv.0", bias_key="final_conv.1.bias")
+    params["final_linear1"] = _eq_linear(sd, "final_linear.0")
+    params["final_linear2"] = _eq_linear(sd, "final_linear.1")
+    return params

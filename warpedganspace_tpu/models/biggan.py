@@ -223,3 +223,131 @@ class BigGANGenerator:
         h = jax.nn.relu(h)
         h = nn.conv2d(params["out_conv"], h, padding=1)
         return jnp.tanh(h)
+
+
+# =========================================================================== #
+#  Discriminator + G_D pair (reference BigGAN.py:248-445 — unused by the      #
+#  WarpedGANSpace pipeline but part of the model family surface).             #
+# =========================================================================== #
+
+
+def biggan_d_arch(ch: int = 96, resolution: int = 128) -> dict:
+    """Discriminator architecture table (reference BigGAN.py:247-279)."""
+    tables = {
+        128: {
+            "in_channels": [3] + [ch * m for m in [1, 2, 4, 8, 16]],
+            "out_channels": [ch * m for m in [1, 2, 4, 8, 16, 16]],
+            "downsample": [True] * 5 + [False],
+            "resolution": [64, 32, 16, 8, 4, 4],
+        },
+    }
+    arch = tables[resolution]
+    arch["attention"] = [r == 64 for r in arch["resolution"]]
+    return arch
+
+
+def _avg_pool2(x):
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1), padding="VALID",
+    ) / 4.0
+
+
+def _dblock(p: dict, x, preactivation: bool, downsample: bool, wide: bool = True):
+    """Discriminator residual block (layers.py:408-455)."""
+    h = jax.nn.relu(x) if preactivation else x
+    h = nn.conv2d(p["conv1"], h, padding=1)
+    h = nn.conv2d(p["conv2"], jax.nn.relu(h), padding=1)
+    if downsample:
+        h = _avg_pool2(h)
+    sc = x
+    if "conv_sc" in p:
+        if preactivation:
+            sc = nn.conv2d(p["conv_sc"], sc, padding=0)
+            if downsample:
+                sc = _avg_pool2(sc)
+        else:
+            if downsample:
+                sc = _avg_pool2(sc)
+            sc = nn.conv2d(p["conv_sc"], sc, padding=0)
+    elif downsample:
+        sc = _avg_pool2(sc)
+    return h + sc
+
+
+@dataclasses.dataclass(frozen=True)
+class BigGANDiscriminator:
+    resolution: int = 128
+    ch: int = 96
+    n_classes: int = 1000
+
+    @property
+    def arch(self) -> dict:
+        return biggan_d_arch(self.ch, self.resolution)
+
+    def init(self, key: jax.Array) -> dict:
+        arch = self.arch
+        keys = iter(jax.random.split(key, 64))
+
+        def conv(i, o, k):
+            return {
+                "w": 0.02 * jax.random.normal(next(keys), (k, k, i, o)),
+                "b": jnp.zeros((o,)),
+            }
+
+        params = {"blocks": [], "linear": {
+            "w": 0.02 * jax.random.normal(next(keys), (arch["out_channels"][-1], 1)),
+            "b": jnp.zeros((1,)),
+        }, "embed": 0.02 * jax.random.normal(
+            next(keys), (self.n_classes, arch["out_channels"][-1]))}
+        for i, (cin, cout) in enumerate(zip(arch["in_channels"], arch["out_channels"])):
+            block = {"conv1": conv(cin, cout, 3), "conv2": conv(cout, cout, 3)}
+            if cin != cout or arch["downsample"][i]:
+                block["conv_sc"] = conv(cin, cout, 1)
+            if arch["attention"][i]:
+                block["attention"] = {
+                    "theta": {"w": 0.02 * jax.random.normal(next(keys), (1, 1, cout, cout // 8))},
+                    "phi": {"w": 0.02 * jax.random.normal(next(keys), (1, 1, cout, cout // 8))},
+                    "g": {"w": 0.02 * jax.random.normal(next(keys), (1, 1, cout, cout // 2))},
+                    "o": {"w": 0.02 * jax.random.normal(next(keys), (1, 1, cout // 2, cout))},
+                    "gamma": jnp.zeros(()),
+                }
+            params["blocks"].append(block)
+        return params
+
+    def apply(self, params: dict, x: jax.Array, y: jax.Array) -> jax.Array:
+        """(B, H, W, 3), (B,) class ids -> (B, 1) projection-D logits
+        (reference BigGAN.py:386-399)."""
+        arch = self.arch
+        h = x
+        for i, block in enumerate(params["blocks"]):
+            h = _dblock(block, h, preactivation=(i > 0), downsample=arch["downsample"][i])
+            if "attention" in block:
+                h = _attention(block["attention"], h)
+        h = jnp.sum(jax.nn.relu(h), axis=(1, 2))  # global sum pool, (B, C)
+        out = nn.linear(params["linear"], h)
+        embed = jnp.take(params["embed"], y, axis=0)  # (B, C)
+        return out + jnp.sum(embed * h, axis=1, keepdims=True)
+
+
+@dataclasses.dataclass(frozen=True)
+class BigGAN_GD:
+    """Functional G_D pair (reference BigGAN.py:404-445): runs G then scores
+    fake (and optionally real) batches with the projection discriminator."""
+
+    G: "BigGANGenerator"
+    D: "BigGANDiscriminator"
+
+    def apply(self, g_params, d_params, z, gy, x=None, dy=None, split_D: bool = False):
+        g_z = self.G.apply(g_params, z, y=gy)
+        if split_D:
+            d_fake = self.D.apply(d_params, g_z, gy)
+            if x is not None:
+                return d_fake, self.D.apply(d_params, x, dy)
+            return d_fake
+        if x is not None:
+            d_input = jnp.concatenate([g_z, x], axis=0)
+            d_class = jnp.concatenate([gy, dy], axis=0)
+            d_out = self.D.apply(d_params, d_input, d_class)
+            return d_out[: z.shape[0]], d_out[z.shape[0]:]
+        return self.D.apply(d_params, g_z, gy)

@@ -320,6 +320,14 @@ class StyleGAN2Generator:
         )
 
     # -------------------------------------------------------- uniform G contract
+    def make_noise(self, key: jax.Array):
+        """Fresh per-layer noise buffers (reference Generator.make_noise :333-342)."""
+        keys = jax.random.split(key, self.num_layers)
+        return [
+            jax.random.normal(keys[i], (1, 2 ** ((i + 5) // 2), 2 ** ((i + 5) // 2), 1))
+            for i in range(self.num_layers)
+        ]
+
     def apply(self, params: dict, z: jax.Array, shift=None, latent_is_w: bool = False):
         """Uniform wrapper contract (reference StyleGAN2Wrapper.forward,
         models/gan_load.py:157-179): shifts live in W-space when
@@ -332,3 +340,110 @@ class StyleGAN2Generator:
         if shift is not None:
             z = z + shift
         return self.forward(params, [z], input_is_latent=False)
+
+
+# =========================================================================== #
+#  Discriminator (reference model.py:453-503 — unused by the WarpedGANSpace   #
+#  pipeline but part of the model family surface).                            #
+# =========================================================================== #
+
+
+def _conv_layer(p: dict, x, downsample: bool, activate: bool = True):
+    """ConvLayer (reference :424-450): [blur +] equal-conv [+ fused lrelu].
+    Equalized-lr scales are folded into ``w`` at conversion."""
+    k = p["w"].shape[0]
+    if downsample:
+        # Blur pad: pl = (p+1)//2, pr = p//2 with p = len(blur)-2 + (k-1).
+        pb = (len(BLUR_KERNEL) - 2) + (k - 1)
+        x = upfirdn2d(x, _make_blur_kernel(), pad=((pb + 1) // 2, pb // 2))
+        x = lax.conv_general_dilated(
+            x, p["w"], window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        pad = k // 2
+        x = lax.conv_general_dilated(
+            x, p["w"], window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if activate:
+        x = fused_leaky_relu(x, p.get("act_bias"))
+    elif "b" in p:
+        x = x + p["b"]
+    return x
+
+
+def _d_res_block(p: dict, x):
+    """ResBlock (reference :439-450): conv -> downsample conv, blur-conv skip,
+    sum scaled by 1/sqrt(2)."""
+    out = _conv_layer(p["conv1"], x, downsample=False)
+    out = _conv_layer(p["conv2"], out, downsample=True)
+    skip = _conv_layer(p["skip"], x, downsample=True, activate=False)
+    return (out + skip) / math.sqrt(2.0)
+
+
+def _minibatch_stddev(x, group_size: int = 4, eps: float = 1e-8):
+    """Minibatch stddev feature (reference :489-495), NHWC."""
+    b, h, w, c = x.shape
+    group = min(b, group_size)
+    y = x.reshape(group, b // group, h, w, c)
+    std = jnp.sqrt(jnp.var(y, axis=0) + eps)            # (b/group, h, w, c)
+    s = jnp.mean(std, axis=(1, 2, 3), keepdims=True)    # (b/group, 1, 1, 1)
+    s = jnp.tile(s, (group, h, w, 1))                   # (b, h, w, 1)
+    return jnp.concatenate([x, s], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class StyleGAN2Discriminator:
+    resolution: int = 1024
+    channel_multiplier: int = 2
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.resolution))
+
+    def init(self, key: jax.Array) -> dict:
+        ch = channels_dict(self.channel_multiplier)
+        keys = iter(jax.random.split(key, 64))
+
+        def conv(i, o, k, act=True):
+            p = {"w": jax.random.normal(next(keys), (k, k, i, o)) / math.sqrt(i * k * k)}
+            if act:
+                p["act_bias"] = jnp.zeros((o,))
+            return p
+
+        def eq_linear(i, o, bias_init=0.0):
+            return {
+                "w": jax.random.normal(next(keys), (i, o)) / math.sqrt(i),
+                "b": jnp.full((o,), bias_init),
+            }
+
+        params = {"conv_in": conv(3, ch[self.resolution], 1), "blocks": []}
+        in_ch = ch[self.resolution]
+        for i in range(self.log_size, 2, -1):
+            out_ch = ch[2 ** (i - 1)]
+            params["blocks"].append(
+                {
+                    "conv1": conv(in_ch, in_ch, 3),
+                    "conv2": conv(in_ch, out_ch, 3),
+                    "skip": {"w": jax.random.normal(next(keys), (1, 1, in_ch, out_ch))
+                             / math.sqrt(in_ch)},
+                }
+            )
+            in_ch = out_ch
+        params["final_conv"] = conv(in_ch + 1, ch[4], 3)
+        params["final_linear1"] = eq_linear(ch[4] * 16, ch[4])
+        params["final_linear2"] = eq_linear(ch[4], 1)
+        return params
+
+    def apply(self, params: dict, x: jax.Array) -> jax.Array:
+        """(B, H, W, 3) -> (B, 1) realness logits."""
+        b = x.shape[0]
+        h = _conv_layer(params["conv_in"], x, downsample=False)
+        for bp in params["blocks"]:
+            h = _d_res_block(bp, h)
+        h = _minibatch_stddev(h)
+        h = _conv_layer(params["final_conv"], h, downsample=False)
+        # Torch flattens NCHW C-order before the linear head.
+        h = h.transpose(0, 3, 1, 2).reshape(b, -1)
+        h = nn.linear(params["final_linear1"], h)
+        h = fused_leaky_relu(h, None)
+        return nn.linear(params["final_linear2"], h)
