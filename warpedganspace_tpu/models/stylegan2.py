@@ -94,14 +94,20 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
 
     x = x * s[:, None, None, :]
     if upsample:
-        # conv_transpose(stride 2, pad 0) == lhs-dilated correlation with the
-        # spatially flipped kernel, full (k-1) padding.
-        w_t = jnp.flip(w, axis=(0, 1))
+        # The reference runs conv_transpose(stride 2) and then a depthwise
+        # 4x4 blur (model.py:210-218 + Blur). Two stacked correlations are one
+        # correlation with the full convolution of their kernels, so we fuse
+        # them into a SINGLE dense lhs-dilated conv with a (k+3)x(k+3)
+        # composite kernel: the depthwise blur (VPU-bound on TPU) disappears
+        # and the whole upsample rides the MXU. Composite:
+        #   C = flip(w) (*) flip(4*blur) = flip(w (*) 4*blur),
+        # with total padding (k-1) + blur_pad = k.
+        w_comp = _compose_upsample_kernel(w)
         x = lax.conv_general_dilated(
             x,
-            w_t,
+            w_comp,
             window_strides=(1, 1),
-            padding=((kh - 1, kh - 1), (kh - 1, kh - 1)),
+            padding=((kh, kh), (kh, kh)),
             lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -116,13 +122,35 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
         )
     if d is not None:
         x = x * d[:, None, None, :]
-    if upsample:
-        # Blur: kernel gain factor^2=4, pad (1, 1) for k=3,f=2,blur len 4
-        # (reference ModulatedConv2d :160-166).
-        pad0 = (len(BLUR_KERNEL) - 2 - (kh - 1) + 1) // 2 + 1
-        pad1 = (len(BLUR_KERNEL) - 2 - (kh - 1)) // 2 + 1
-        x = upfirdn2d(x, _make_blur_kernel(gain=4.0), pad=(pad0, pad1))
     return x
+
+
+def _compose_upsample_kernel(w: jax.Array) -> jax.Array:
+    """Fuse the transposed-conv kernel with the fixed 4-tap blur.
+
+    full-conv of each (kh, kw) filter of ``w`` with the (4, 4) blur*factor^2,
+    spatially flipped — exact algebra of corr(corr(., flip(w)), flip(4b)).
+    Cost is one tiny depthwise conv over the (in*out)-channel "kernel image",
+    negligible next to the synthesis convs.
+    """
+    kh, kw, cin, cout = w.shape
+    blur = _make_blur_kernel(gain=4.0)
+    bl = blur.shape[0]
+    io = cin * cout
+    w_img = w.reshape(1, kh, kw, io)
+    b_flip = jnp.flip(blur, (0, 1))
+    b_k = jnp.tile(b_flip[:, :, None, None], (1, 1, 1, io)).astype(w.dtype)
+    # full correlation: pad (bl-1) both sides -> size kh + bl - 1.
+    full = lax.conv_general_dilated(
+        w_img,
+        b_k,
+        window_strides=(1, 1),
+        padding=((bl - 1, bl - 1), (bl - 1, bl - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=io,
+    )[0]
+    comp = jnp.flip(full, (0, 1))
+    return comp.reshape(kh + bl - 1, kw + bl - 1, cin, cout)
 
 
 def styled_conv(p: dict, x, style, noise=None, upsample: bool = False):
