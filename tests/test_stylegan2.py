@@ -172,3 +172,24 @@ def test_truncation_and_mixing(ref_generator):
     peak = ref_img.max() - ref_img.min()
     psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
     assert psnr > 40.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_remat_matches_no_remat():
+    """Gradients through the remat'd synthesis equal the plain ones."""
+    import jax
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    gen = StyleGAN2Generator(resolution=64)
+    gen_remat = StyleGAN2Generator(resolution=64, remat=True)
+    params = gen.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    shift = jnp.zeros_like(z)
+
+    def loss(g, s):
+        return jnp.mean(jnp.square(g.apply(params, z, s)))
+
+    l1, g1 = jax.value_and_grad(lambda s: loss(gen, s))(shift)
+    l2, g2 = jax.value_and_grad(lambda s: loss(gen_remat, s))(shift)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)

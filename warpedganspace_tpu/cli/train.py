@@ -76,6 +76,11 @@ def build_parser():
                         help="accepted for reference-script compatibility (ignored)")
     parser.add_argument("--multi-device", action="store_true",
                         help="shard the batch over all visible TPU devices (data parallel)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize generator blocks in the backward pass "
+                             "(reduces HBM pressure for 1024^2 training)")
+    parser.add_argument("--profile", action="store_true",
+                        help="capture a jax.profiler trace of the training loop")
     parser.set_defaults(cuda=True)
     return parser
 
@@ -102,6 +107,7 @@ def main(argv=None):
         target_classes=args.biggan_target_classes,
         stylegan2_resolution=args.stylegan2_resolution,
         shift_in_w_space=args.shift_in_w_space,
+        remat=args.remat,
     )
 
     print("#. Build Support Sets S...")
@@ -137,7 +143,7 @@ def main(argv=None):
 
     print("#. Experiment: {}".format(exp_dir))
     trn = Trainer(params=args, exp_dir=exp_dir, mesh=mesh, seed=args.seed)
-    trn.train(generator=G, support_sets=S, reconstructor=R)
+    trn.train(generator=G, support_sets=S, reconstructor=R, profile=args.profile)
 
 
 if __name__ == "__main__":

@@ -63,12 +63,13 @@ def build_sngan(pretrained_gan_weights: str, gan_type: str, allow_random_init: b
     )
 
 
-def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = None) -> GeneratorBundle:
+def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = None,
+                  remat: bool = False) -> GeneratorBundle:
     """ProgGAN 1024^2 CelebA-HQ. Parity: models/gan_load.py:109-129."""
     from warpedganspace_tpu.convert import proggan_params_from_state_dict
     from warpedganspace_tpu.models.proggan import ProgGANGenerator
 
-    gen = ProgGANGenerator()
+    gen = ProgGANGenerator(remat=remat)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     params = gen.init(jax.random.key(0)) if sd is None else proggan_params_from_state_dict(sd)
     return GeneratorBundle(
@@ -86,12 +87,14 @@ def build_stylegan2(
     resolution: int,
     shift_in_w_space: bool = False,
     allow_random_init: bool | None = None,
+    remat: bool = False,
 ) -> GeneratorBundle:
     """StyleGAN2 FFHQ (256 / 1024, config-f). Parity: models/gan_load.py:145-188."""
     from warpedganspace_tpu.convert.stylegan2 import stylegan2_params_from_state_dict
     from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
 
-    gen = StyleGAN2Generator(resolution=resolution, shift_in_w_space=shift_in_w_space)
+    gen = StyleGAN2Generator(resolution=resolution, shift_in_w_space=shift_in_w_space,
+                             remat=remat)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     if sd is None:
         params = gen.init(jax.random.key(0))
@@ -144,6 +147,7 @@ def build_gan(
     shift_in_w_space: bool = False,
     weights_root: str = ".",
     allow_random_init: bool | None = None,
+    remat: bool = False,
 ) -> GeneratorBundle:
     """Dispatcher used by the CLI scripts (parity: traverse_latent_space.py:233-259)."""
     from warpedganspace_tpu.config import GAN_WEIGHTS
@@ -153,9 +157,10 @@ def build_gan(
         return build_biggan(path, target_classes, allow_random_init)
     if gan_type == "ProgGAN":
         path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][GAN_RESOLUTIONS[gan_type]])
-        return build_proggan(path, allow_random_init)
+        return build_proggan(path, allow_random_init, remat=remat)
     if gan_type == "StyleGAN2":
         path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][stylegan2_resolution])
-        return build_stylegan2(path, stylegan2_resolution, shift_in_w_space, allow_random_init)
+        return build_stylegan2(path, stylegan2_resolution, shift_in_w_space, allow_random_init,
+                               remat=remat)
     path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][GAN_RESOLUTIONS[gan_type]])
     return build_sngan(path, gan_type, allow_random_init)

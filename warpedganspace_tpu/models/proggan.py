@@ -29,6 +29,8 @@ class ProgGANGenerator:
     dim_z: int = 512
     resolution: int = 1024
     image_channels: int = 3
+    # Rematerialize blocks during backprop-through-G (1024^2 training memory).
+    remat: bool = False
 
     def init(self, key: jax.Array) -> dict:
         """Random init (test use; real use converts the pretrained .pth)."""
@@ -61,14 +63,21 @@ class ProgGANGenerator:
         if shift is not None:
             z = z + shift
         x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed
-        for spec, p in zip(_BLOCK_SPECS, params["blocks"]):
-            kernel, pad, up = spec
+
+        def block(p, x, kernel, pad, up):
             x = nn.pixel_norm(x)
             if up:
                 x = nn.upsample_nearest(x, 2)
             x = nn.conv2d(p["conv"], x, padding=pad)
             x = x * p["wscale_scale"] + p["wscale_bias"]
-            x = jnp.where(x >= 0, x, 0.2 * x)
+            return jnp.where(x >= 0, x, 0.2 * x)
+
+        if self.remat:
+            block = jax.checkpoint(block, static_argnums=(2, 3, 4))
+
+        for spec, p in zip(_BLOCK_SPECS, params["blocks"]):
+            kernel, pad, up = spec
+            x = block(p, x, kernel, pad, up)
         x = nn.pixel_norm(x)
         x = nn.conv2d(params["out"]["conv"], x, padding=0)
         x = x * params["out"]["wscale_scale"] + params["out"]["wscale_bias"]

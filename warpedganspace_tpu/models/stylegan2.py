@@ -181,6 +181,9 @@ class StyleGAN2Generator:
     n_mlp: int = 8
     channel_multiplier: int = 2
     shift_in_w_space: bool = False
+    # Rematerialize per-resolution blocks during backprop-through-G (training
+    # at 1024^2 with bs 8-12 otherwise exhausts HBM — SURVEY hard part #2).
+    remat: bool = False
 
     @property
     def dim_z(self) -> int:
@@ -302,13 +305,27 @@ class StyleGAN2Generator:
         out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
 
+        def block(block_params, out, skip, lat3, n1, n2):
+            conv_up, conv, rgb = block_params
+            out = styled_conv(conv_up, out, lat3[:, 0], n1, upsample=True)
+            out = styled_conv(conv, out, lat3[:, 1], n2)
+            skip = to_rgb(rgb, out, lat3[:, 2], skip)
+            return out, skip
+
+        if self.remat:
+            block = jax.checkpoint(block)
+
         i = 1
         for idx in range(len(params["to_rgbs"])):
-            conv_up = params["convs"][2 * idx]
-            conv = params["convs"][2 * idx + 1]
-            out = styled_conv(conv_up, out, latent[:, i], noise[2 * idx + 1], upsample=True)
-            out = styled_conv(conv, out, latent[:, i + 1], noise[2 * idx + 2])
-            skip = to_rgb(params["to_rgbs"][idx], out, latent[:, i + 2], skip)
+            block_params = (
+                params["convs"][2 * idx],
+                params["convs"][2 * idx + 1],
+                params["to_rgbs"][idx],
+            )
+            out, skip = block(
+                block_params, out, skip, latent[:, i : i + 3],
+                noise[2 * idx + 1], noise[2 * idx + 2],
+            )
             i += 2
         return skip
 
