@@ -212,3 +212,43 @@ def test_fanau_parity():
     got = np.asarray(det.detect_AU(img))
     assert got.shape == ref_int.shape == (2, 12)
     np.testing.assert_allclose(got, ref_int, rtol=1e-2, atol=1e-3)
+
+
+def test_native_nms_matches_numpy():
+    """C++ NMS (native/sfd_post.cpp) == numpy greedy NMS incl. tie order."""
+    from warpedganspace_tpu.native import load_native
+    from warpedganspace_tpu.evalzoo import sfd as sfd_mod
+
+    lib = load_native()
+    if lib is None:
+        pytest.skip("no C++ toolchain")
+
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n = 200
+        xy = rng.rand(n, 2) * 200
+        wh = rng.rand(n, 2) * 60 + 5
+        # Distinct scores: numpy argsort is unstable (introsort), so exact
+        # tie order is not reproducible by ANY other implementation.
+        scores = rng.rand(n)
+        dets = np.concatenate([xy, xy + wh, scores[:, None]], axis=1).astype(np.float32)
+
+        got = sfd_mod.nms(dets, 0.3)
+
+        # numpy oracle (reference bbox.py:44-67 transcription)
+        x1, y1, x2, y2, s = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
+        areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+        order = s.argsort()[::-1]
+        keep = []
+        while order.size > 0:
+            i = order[0]
+            keep.append(i)
+            xx1 = np.maximum(x1[i], x1[order[1:]])
+            yy1 = np.maximum(y1[i], y1[order[1:]])
+            xx2 = np.minimum(x2[i], x2[order[1:]])
+            yy2 = np.minimum(y2[i], y2[order[1:]])
+            w = np.maximum(0.0, xx2 - xx1 + 1)
+            h = np.maximum(0.0, yy2 - yy1 + 1)
+            ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
+            order = order[np.where(ovr <= 0.3)[0] + 1]
+        assert got == keep, trial

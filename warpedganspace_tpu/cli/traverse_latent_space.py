@@ -165,6 +165,9 @@ def main(argv=None):
         shift_leap=args.shift_leap)
     codes_np = np.asarray(codes)
 
+    from warpedganspace_tpu.traverse.writer import AsyncImageWriter
+
+    writer = AsyncImageWriter()
     for i in range(num_of_latent_codes):
         latent_code_hash = latent_codes_dirs[i]
         if args.verbose:
@@ -192,13 +195,15 @@ def main(argv=None):
             transformed_images_dir = osp.join(
                 transformed_images_root_dir, "path_{:03d}".format(dim))
             os.makedirs(transformed_images_dir, exist_ok=True)
+            # JPEG encodes run on a host thread pool, overlapped with the
+            # accelerator rendering the next path (traverse/writer.py).
             for t in range(imgs.shape[0]):
-                pil = tensor2image(imgs[t], img_size=args.img_size, adaptive=True)
-                pil.save(osp.join(transformed_images_dir, "{:06d}.jpg".format(t)),
-                         "JPEG", quality=args.img_quality, optimize=True, progressive=True)
+                writer.submit(imgs[t],
+                              osp.join(transformed_images_dir, "{:06d}.jpg".format(t)),
+                              img_size=args.img_size, quality=args.img_quality)
                 if (t == imgs.shape[0] // 2) and (dim == 0):
-                    pil.save(osp.join(latent_code_dir, "original_image.jpg"),
-                             "JPEG", quality=95, optimize=True, progressive=True)
+                    writer.submit(imgs[t], osp.join(latent_code_dir, "original_image.jpg"),
+                                  img_size=args.img_size, quality=95)
             if args.verbose:
                 update_stdout(1)
 
@@ -209,6 +214,8 @@ def main(argv=None):
             update_stdout(1)
             print()
             print()
+
+    writer.close()
 
     if args.gif:
         collate_traversal_gifs(

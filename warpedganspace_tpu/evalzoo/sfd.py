@@ -107,9 +107,28 @@ def s3fd_apply(params: dict, x: jax.Array):
 
 
 def nms(dets: np.ndarray, thresh: float):
-    """Greedy NMS (reference bbox.py:44-67), +1 area convention included."""
+    """Greedy NMS (reference bbox.py:44-67), +1 area convention included.
+
+    Dispatches to the C++ implementation (native/sfd_post.cpp) when the
+    toolchain is available; numpy fallback otherwise.
+    """
     if 0 == len(dets):
         return []
+    from warpedganspace_tpu.native import load_native
+
+    lib = load_native()
+    if lib is not None:
+        import ctypes
+
+        d = np.ascontiguousarray(dets, dtype=np.float32)
+        keep = np.empty(len(d), dtype=np.int32)
+        n = lib.wgs_nms(
+            d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(d),
+            ctypes.c_float(thresh),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        )
+        return keep[:n].tolist()
     x1, y1, x2, y2, scores = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3], dets[:, 4]
     areas = (x2 - x1 + 1) * (y2 - y1 + 1)
     order = scores.argsort()[::-1]
@@ -144,25 +163,36 @@ def decode(loc: np.ndarray, priors: np.ndarray, variances) -> np.ndarray:
 
 def _decode_batch(olist_np) -> np.ndarray:
     """Anchor decode (reference detect.py:49-75), preserving the union-over-
-    batch candidate-position quirk."""
+    batch candidate-position quirk, fully vectorized (the reference decodes
+    one candidate per Python-loop step)."""
     bb = olist_np[0].shape[0]
-    bboxlists = []
-    for j in range(bb):
-        bboxlist = []
-        for i in range(len(olist_np) // 2):
-            ocls, oreg = olist_np[i * 2], olist_np[i * 2 + 1]  # NCHW-like (B,C,H,W)
-            stride = 2 ** (i + 2)
-            poss = zip(*np.where(ocls[:, 1, :, :] > 0.05))
-            for _, hindex, windex in poss:
-                axc = stride / 2 + windex * stride
-                ayc = stride / 2 + hindex * stride
-                score = ocls[j, 1, hindex, windex]
-                loc = oreg[j, :, hindex, windex].reshape(1, 4)
-                priors = np.array([[axc, ayc, stride * 4.0, stride * 4.0]])
-                box = decode(loc, priors, [0.1, 0.2])
-                x1, y1, x2, y2 = box[0]
-                bboxlist.append([x1, y1, x2, y2, score])
-        bboxlists.append(bboxlist)
+    per_batch = [[] for _ in range(bb)]
+    for i in range(len(olist_np) // 2):
+        ocls, oreg = olist_np[i * 2], olist_np[i * 2 + 1]  # NCHW-like (B,C,H,W)
+        stride = 2 ** (i + 2)
+        # Candidate positions come from a threshold over the WHOLE batch and
+        # are decoded for EVERY batch element (the reference quirk).
+        _, hidx, widx = np.where(ocls[:, 1, :, :] > 0.05)
+        if hidx.size == 0:
+            continue
+        axc = stride / 2 + widx * stride        # (n,)
+        ayc = stride / 2 + hidx * stride
+        priors = np.stack(
+            [axc, ayc, np.full_like(axc, stride * 4.0), np.full_like(axc, stride * 4.0)],
+            axis=1,
+        ).astype(np.float64)
+        for j in range(bb):
+            scores = ocls[j, 1, hidx, widx]
+            # NB: advanced indices separated by a slice put the broadcast dim
+            # first, so this is already (n, 4).
+            loc = oreg[j, :, hidx, widx]
+            boxes = decode(loc.astype(np.float64), priors, [0.1, 0.2])
+            per_batch[j].append(
+                np.concatenate([boxes, scores[:, None].astype(np.float64)], axis=1)
+            )
+    bboxlists = [
+        np.concatenate(rows, axis=0) if rows else np.zeros((0, 5)) for rows in per_batch
+    ]
     bboxlists = np.array(bboxlists)
     if 0 == len(bboxlists):
         bboxlists = np.zeros((1, 1, 5))

@@ -94,23 +94,25 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
 
     x = x * s[:, None, None, :]
     if upsample:
-        # The reference runs conv_transpose(stride 2) and then a depthwise
-        # 4x4 blur (model.py:210-218 + Blur). Two stacked correlations are one
-        # correlation with the full convolution of their kernels, so we fuse
-        # them into a SINGLE dense lhs-dilated conv with a (k+3)x(k+3)
-        # composite kernel: the depthwise blur (VPU-bound on TPU) disappears
-        # and the whole upsample rides the MXU. Composite:
-        #   C = flip(w) (*) flip(4*blur) = flip(w (*) 4*blur),
-        # with total padding (k-1) + blur_pad = k.
-        w_comp = _compose_upsample_kernel(w)
-        x = lax.conv_general_dilated(
+        # The reference runs conv_transpose(stride 2) then a depthwise 4x4
+        # blur (model.py:210-218 + Blur). Both are correlations, so they fuse
+        # into one 6x6 composite kernel; that composite applied to the
+        # 2x-zero-stuffed input is then POLYPHASE-decomposed into four 3x3
+        # kernels applied to the *unstuffed* input, stacked as 4*out output
+        # channels of a single stride-1 MXU conv, and pixel-shuffled to 2x
+        # resolution. Exact algebra; no dilated zeros, no depthwise blur.
+        b, h_in, w_in, cin = x.shape
+        cout = w.shape[3]
+        k_phase = _polyphase_upsample_kernel(w)       # (3, 3, in, 4*out)
+        y = lax.conv_general_dilated(
             x,
-            w_comp,
+            k_phase,
             window_strides=(1, 1),
-            padding=((kh, kh), (kh, kh)),
-            lhs_dilation=(2, 2),
+            padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        )                                             # (B, h, w, 2*2*out)
+        y = y.reshape(b, h_in, w_in, 2, 2, cout)
+        x = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h_in, 2 * w_in, cout)
     else:
         pad = kh // 2
         x = lax.conv_general_dilated(
@@ -151,6 +153,28 @@ def _compose_upsample_kernel(w: jax.Array) -> jax.Array:
     )[0]
     comp = jnp.flip(full, (0, 1))
     return comp.reshape(kh + bl - 1, kw + bl - 1, cin, cout)
+
+
+def _polyphase_upsample_kernel(w: jax.Array) -> jax.Array:
+    """Polyphase split of the 6x6 composite upsample kernel into four 3x3
+    kernels stacked along the output-channel axis.
+
+    Derivation: with C the composite kernel, s the 2x zero-stuffed input and
+    total padding 3, output row p=2q+dp selects C rows of parity (1-dp):
+    rows [1,3,5] for even p, [0,2,4] for odd p (same for columns), each giving
+    a stride-1 3-tap correlation of the raw input with padding 1. Channel
+    layout of the stacked kernel: (dp, dq, out) C-order, matching the
+    pixel-shuffle reshape in the caller.
+    """
+    comp = _compose_upsample_kernel(w)              # (6, 6, in, out)
+    cin, cout = comp.shape[2], comp.shape[3]
+    rows = (jnp.array([1, 3, 5]), jnp.array([0, 2, 4]))
+    phases = []
+    for dp in range(2):
+        for dq in range(2):
+            phases.append(comp[rows[dp]][:, rows[dq]])   # (3, 3, in, out)
+    k = jnp.stack(phases, axis=3)                   # (3, 3, in, 4, out)
+    return k.reshape(3, 3, cin, 4 * cout)
 
 
 def styled_conv(p: dict, x, style, noise=None, upsample: bool = False):
