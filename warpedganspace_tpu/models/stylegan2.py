@@ -94,25 +94,21 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
 
     x = x * s[:, None, None, :]
     if upsample:
-        # The reference runs conv_transpose(stride 2) then a depthwise 4x4
-        # blur (model.py:210-218 + Blur). Both are correlations, so they fuse
-        # into one 6x6 composite kernel; that composite applied to the
-        # 2x-zero-stuffed input is then POLYPHASE-decomposed into four 3x3
-        # kernels applied to the *unstuffed* input, stacked as 4*out output
-        # channels of a single stride-1 MXU conv, and pixel-shuffled to 2x
-        # resolution. Exact algebra; no dilated zeros, no depthwise blur.
-        b, h_in, w_in, cin = x.shape
-        cout = w.shape[3]
-        k_phase = _polyphase_upsample_kernel(w)       # (3, 3, in, 4*out)
-        y = lax.conv_general_dilated(
+        # conv_transpose(stride 2, pad 0) == lhs-dilated correlation with the
+        # spatially flipped kernel, full (k-1) padding. Alternatives measured
+        # on v5e and found SLOWER: fusing the 4x4 blur into a 6x6 dilated
+        # kernel (127 vs 149 img/s f32 — dilated zeros quadruple MXU work) and
+        # a polyphase/pixel-shuffle decomposition of that composite (111 f32 /
+        # 138 bf16 vs 155 bf16) — XLA already optimizes the 3x3 dilation well.
+        w_t = jnp.flip(w, axis=(0, 1))
+        x = lax.conv_general_dilated(
             x,
-            k_phase,
+            w_t,
             window_strides=(1, 1),
-            padding=((1, 1), (1, 1)),
+            padding=((kh - 1, kh - 1), (kh - 1, kh - 1)),
+            lhs_dilation=(2, 2),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )                                             # (B, h, w, 2*2*out)
-        y = y.reshape(b, h_in, w_in, 2, 2, cout)
-        x = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h_in, 2 * w_in, cout)
+        )
     else:
         pad = kh // 2
         x = lax.conv_general_dilated(
@@ -124,57 +120,13 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
         )
     if d is not None:
         x = x * d[:, None, None, :]
+    if upsample:
+        # Blur: kernel gain factor^2=4, pad (1, 1) for k=3, f=2, blur len 4
+        # (reference ModulatedConv2d :160-166).
+        pad0 = (len(BLUR_KERNEL) - 2 - (kh - 1) + 1) // 2 + 1
+        pad1 = (len(BLUR_KERNEL) - 2 - (kh - 1)) // 2 + 1
+        x = upfirdn2d(x, _make_blur_kernel(gain=4.0), pad=(pad0, pad1))
     return x
-
-
-def _compose_upsample_kernel(w: jax.Array) -> jax.Array:
-    """Fuse the transposed-conv kernel with the fixed 4-tap blur.
-
-    full-conv of each (kh, kw) filter of ``w`` with the (4, 4) blur*factor^2,
-    spatially flipped — exact algebra of corr(corr(., flip(w)), flip(4b)).
-    Cost is one tiny depthwise conv over the (in*out)-channel "kernel image",
-    negligible next to the synthesis convs.
-    """
-    kh, kw, cin, cout = w.shape
-    blur = _make_blur_kernel(gain=4.0)
-    bl = blur.shape[0]
-    io = cin * cout
-    w_img = w.reshape(1, kh, kw, io)
-    b_flip = jnp.flip(blur, (0, 1))
-    b_k = jnp.tile(b_flip[:, :, None, None], (1, 1, 1, io)).astype(w.dtype)
-    # full correlation: pad (bl-1) both sides -> size kh + bl - 1.
-    full = lax.conv_general_dilated(
-        w_img,
-        b_k,
-        window_strides=(1, 1),
-        padding=((bl - 1, bl - 1), (bl - 1, bl - 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=io,
-    )[0]
-    comp = jnp.flip(full, (0, 1))
-    return comp.reshape(kh + bl - 1, kw + bl - 1, cin, cout)
-
-
-def _polyphase_upsample_kernel(w: jax.Array) -> jax.Array:
-    """Polyphase split of the 6x6 composite upsample kernel into four 3x3
-    kernels stacked along the output-channel axis.
-
-    Derivation: with C the composite kernel, s the 2x zero-stuffed input and
-    total padding 3, output row p=2q+dp selects C rows of parity (1-dp):
-    rows [1,3,5] for even p, [0,2,4] for odd p (same for columns), each giving
-    a stride-1 3-tap correlation of the raw input with padding 1. Channel
-    layout of the stacked kernel: (dp, dq, out) C-order, matching the
-    pixel-shuffle reshape in the caller.
-    """
-    comp = _compose_upsample_kernel(w)              # (6, 6, in, out)
-    cin, cout = comp.shape[2], comp.shape[3]
-    rows = (jnp.array([1, 3, 5]), jnp.array([0, 2, 4]))
-    phases = []
-    for dp in range(2):
-        for dq in range(2):
-            phases.append(comp[rows[dp]][:, rows[dq]])   # (3, 3, in, out)
-    k = jnp.stack(phases, axis=3)                   # (3, 3, in, 4, out)
-    return k.reshape(3, 3, cin, 4 * cout)
 
 
 def styled_conv(p: dict, x, style, noise=None, upsample: bool = False):
