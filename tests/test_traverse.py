@@ -76,3 +76,18 @@ def test_center_is_unshifted():
     for k in range(2):
         np.testing.assert_allclose(np.asarray(codes[:, k, center]), np.asarray(z), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(shifts[:, k, center]), 0.0)
+
+
+def test_traverse_multi_device_matches_single():
+    """Mesh-sharded traversal (paths over 8 devices) == unsharded."""
+    from warpedganspace_tpu.parallel import make_mesh
+
+    S = SupportSets(num_support_sets=8, num_support_dipoles=3, support_vectors_dim=16)
+    params = S.init(jax.random.key(6))
+    z = jax.random.normal(jax.random.key(7), (3, 16))
+
+    c1, s1 = traverse_paths(S, params, z, eps=0.2, shift_steps=4)
+    mesh = make_mesh()
+    c2, s2 = traverse_paths(S, params, z, eps=0.2, shift_steps=4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)

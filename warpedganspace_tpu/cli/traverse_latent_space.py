@@ -61,6 +61,8 @@ def build_parser():
                         help="accepted for reference-script compatibility (ignored)")
     parser.add_argument("--no-cuda", dest="cuda", action="store_false",
                         help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--multi-device", action="store_true",
+                        help="shard the K paths over all visible TPU devices")
     parser.set_defaults(cuda=True)
     return parser
 
@@ -157,12 +159,20 @@ def main(argv=None):
         print("  \\__Save results at  : {}".format(out_dir))
 
     # One compiled program integrates ALL (codes x paths x steps).
+    mesh = None
+    if getattr(args, "multi_device", False):
+        import jax
+
+        from warpedganspace_tpu.parallel import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh()
     latents = jnp.asarray(zs)
     if shift_in_w_space:
         latents = G.get_w(G.params, latents)
     codes, shifts = traverse_paths(
         S, s_params, latents, eps=args.eps, shift_steps=args.shift_steps,
-        shift_leap=args.shift_leap)
+        shift_leap=args.shift_leap, mesh=mesh)
     codes_np = np.asarray(codes)
 
     from warpedganspace_tpu.traverse.writer import AsyncImageWriter

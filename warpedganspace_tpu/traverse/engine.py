@@ -31,7 +31,7 @@ from warpedganspace_tpu.models.support_sets import SupportSets
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "shift_steps", "shift_leap", "num_paths"),
+    static_argnames=("S", "shift_steps", "shift_leap", "num_paths", "mesh"),
 )
 def traverse_paths(
     S: SupportSets,
@@ -41,6 +41,7 @@ def traverse_paths(
     shift_steps: int,
     shift_leap: int = 1,
     num_paths: int | None = None,
+    mesh=None,
 ):
     """Integrate all K paths for all latent codes in one compiled program.
 
@@ -65,6 +66,16 @@ def traverse_paths(
     # (codes x paths) grid: every code advances along every path, so the warp
     # uses the gather-free all-sets formulation (K-batched matmuls).
     z0 = jnp.broadcast_to(latents[:, None, :], (n, k, d))   # (N, K, d)
+    if mesh is not None:
+        # Shard the path axis over the data-parallel mesh (support-set params
+        # replicate; each device integrates its slice of the K paths). The
+        # path axis is used because K (64-200) is always >= the device count,
+        # unlike the pool size N.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        z0 = jax.lax.with_sharding_constraint(
+            z0, NamedSharding(mesh, PartitionSpec(None, "data", None))
+        )
 
     def make_scan(signed_eps):
         def body(z, _):
