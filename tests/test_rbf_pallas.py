@@ -42,3 +42,21 @@ def test_all_sets_formulation_matches_gather():
     np.testing.assert_allclose(
         np.asarray(all_out.reshape(-1, 16)), np.asarray(gathered), rtol=1e-4, atol=1e-6
     )
+
+
+def test_pallas_value_and_grad_fused():
+    """The fused kernel's f(z) output matches the jnp reference."""
+    from warpedganspace_tpu.ops.rbf_pallas import warp_value_and_grad_pallas
+
+    cfg = SupportSets(num_support_sets=4, num_support_dipoles=3, support_vectors_dim=64)
+    params = cfg.init(jax.random.key(5))
+    gammas = cfg.gammas(params)
+    z = jax.random.normal(jax.random.key(6), (6, 64))
+    idx = jax.random.randint(jax.random.key(7), (6,), 0, 4)
+
+    f_ref, g_ref = rbf.warp_value_and_grad(
+        params["support_sets"], params["alphas"], gammas, z, idx)
+    f, g = warp_value_and_grad_pallas(
+        params["support_sets"], params["alphas"], gammas, z, idx, interpret=True)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)

@@ -29,8 +29,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warp_kernel(idx_ref, sv_ref, a_ref, g_ref, z_ref, out_ref):
-    """One grid step = one batch row; sv/a/g blocks were DMA'd for set idx[i]."""
+def _warp_kernel(idx_ref, sv_ref, a_ref, g_ref, z_ref, out_ref, f_ref):
+    """One grid step = one batch row; sv/a/g blocks were DMA'd for set idx[i].
+    Emits both the normalized gradient and the warp value f(z) in one pass
+    (the shared distance/exp work is computed once)."""
     z = z_ref[0, :]                       # (d,)
     sv = sv_ref[0]                        # (2N, d)
     a = a_ref[0]                          # (2N,)
@@ -38,17 +40,19 @@ def _warp_kernel(idx_ref, sv_ref, a_ref, g_ref, z_ref, out_ref):
 
     diff = z[None, :] - sv                # (2N, d) — lives in VMEM only
     d2 = jnp.sum(diff * diff, axis=1)     # (2N,)
-    w = a * g * jnp.exp(-g * d2)          # (2N,)
+    e = jnp.exp(-g * d2)                  # (2N,)
+    w = a * g * e                         # (2N,)
     grad = jnp.dot(
         (-2.0 * w)[None, :], diff, preferred_element_type=jnp.float32
     )                                     # (1, d) on the MXU
     inv_norm = jax.lax.rsqrt(jnp.sum(grad * grad) + 1e-30)
     out_ref[0, :] = grad[0] * inv_norm
+    f_ref[0, 0] = jnp.sum(a * e)          # f(z) = sum_j alpha_j exp(-gamma_j d2_j)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def warp_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = False):
-    """Fused, normalized grad f_idx(z).
+def warp_value_and_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = False):
+    """Fused f(z) AND normalized grad f_idx(z) in one VMEM pass.
 
     Args:
         support_sets: (K, 2N, d) float32.
@@ -56,8 +60,8 @@ def warp_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = Fal
         z: (B, d) float32. idx: (B,) int32.
         interpret: run in the Pallas interpreter (for CPU tests).
 
-    Returns (B, d) unit-norm directions; numerically matches
-    :func:`warpedganspace_tpu.ops.rbf.warp_grad`.
+    Returns (f (B,), grad (B, d)); numerically matches
+    :func:`warpedganspace_tpu.ops.rbf.warp_value_and_grad`.
     """
     k, n2, d = support_sets.shape
     b = z.shape[0]
@@ -81,12 +85,27 @@ def warp_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = Fal
             pl.BlockSpec((1, n_pad), lambda i, idx_ref: (idx_ref[i], 0)),
             pl.BlockSpec((1, d_pad), lambda i, idx_ref: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, d_pad), lambda i, idx_ref: (i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, d_pad), lambda i, idx_ref: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i, idx_ref: (i, 0)),
+        ),
     )
-    out = pl.pallas_call(
+    out, f = pl.pallas_call(
         _warp_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, d_pad), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
         interpret=interpret,
     )(idx.astype(jnp.int32), support_sets, alphas, gammas, z)
-    return out[:, :d]
+    return f[:, 0], out[:, :d]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warp_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = False):
+    """Fused, normalized grad f_idx(z) (see :func:`warp_value_and_grad_pallas`)."""
+    _, grad = warp_value_and_grad_pallas(
+        support_sets, alphas, gammas, z, idx, interpret=interpret
+    )
+    return grad
