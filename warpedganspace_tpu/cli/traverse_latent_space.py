@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from warpedganspace_tpu.models.gan_load import build_gan
 from warpedganspace_tpu.models.support_sets import SupportSets
-from warpedganspace_tpu.traverse import render_codes, tensor2image, traverse_paths
+from warpedganspace_tpu.traverse import render_codes, traverse_paths
 from warpedganspace_tpu.traverse.gifs import collate_traversal_gifs
 from warpedganspace_tpu.utils.aux import update_progress, update_stdout
 from warpedganspace_tpu.utils.io import load_pt, save_pt

@@ -13,7 +13,6 @@ benchmarking on machines without the weight artifacts.
 """
 from __future__ import annotations
 
-import functools
 import os
 import os.path as osp
 
