@@ -27,7 +27,7 @@ import time
 
 BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
 
-BATCH = 8          # render batch per device
+BATCH = 16         # render batch per device (measured best vs 8 on v5e)
 RENDER_ITERS = 12
 WARMUP = 3
 

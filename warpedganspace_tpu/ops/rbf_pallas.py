@@ -32,22 +32,29 @@ def _round_up(x: int, m: int) -> int:
 def _warp_kernel(idx_ref, sv_ref, a_ref, g_ref, z_ref, out_ref, f_ref):
     """One grid step = one batch row; sv/a/g blocks were DMA'd for set idx[i].
     Emits both the normalized gradient and the warp value f(z) in one pass
-    (the shared distance/exp work is computed once)."""
-    z = z_ref[0, :]                       # (d,)
-    sv = sv_ref[0]                        # (2N, d)
-    a = a_ref[0]                          # (2N,)
-    g = g_ref[0]                          # (2N,)
+    (the shared distance/exp work is computed once).
 
-    diff = z[None, :] - sv                # (2N, d) — lives in VMEM only
-    d2 = jnp.sum(diff * diff, axis=1)     # (2N,)
-    e = jnp.exp(-g * d2)                  # (2N,)
-    w = a * g * e                         # (2N,)
+    Shapes carry singleton dims so every BlockSpec satisfies the TPU tiling
+    rule (block dims divisible by (8, 128) or equal to the array dims):
+    sv (1, 2N, d), a/g (1, 2N, 1), z/out (1, 1, d), f (1, 1, 1)."""
+    # Everything stays >= 2-D: Mosaic's vector layouts mis-lower 1-D
+    # reductions/stores.
+    z = z_ref[0]                          # (1, d)
+    sv = sv_ref[0]                        # (2N, d)
+    a = a_ref[0]                          # (2N, 1)
+    g = g_ref[0]                          # (2N, 1)
+
+    diff = z - sv                         # (2N, d) — lives in VMEM only
+    d2 = jnp.sum(diff * diff, axis=1, keepdims=True)  # (2N, 1)
+    e = jnp.exp(-g * d2)                  # (2N, 1)
+    w = a * g * e                         # (2N, 1)
     grad = jnp.dot(
-        (-2.0 * w)[None, :], diff, preferred_element_type=jnp.float32
+        (-2.0 * w).T, diff, preferred_element_type=jnp.float32
     )                                     # (1, d) on the MXU
-    inv_norm = jax.lax.rsqrt(jnp.sum(grad * grad) + 1e-30)
-    out_ref[0, :] = grad[0] * inv_norm
-    f_ref[0, 0] = jnp.sum(a * e)          # f(z) = sum_j alpha_j exp(-gamma_j d2_j)
+    n2 = jnp.sum(grad * grad, axis=1, keepdims=True)  # (1, 1)
+    out_ref[0] = grad * jax.lax.rsqrt(n2 + 1e-30)
+    # f(z) = sum_j alpha_j exp(-gamma_j d2_j).
+    f_ref[0] = jnp.sum(a * e, axis=0, keepdims=True)  # (1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -81,25 +88,31 @@ def warp_value_and_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: 
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, n_pad, d_pad), lambda i, idx_ref: (idx_ref[i], 0, 0)),
-            pl.BlockSpec((1, n_pad), lambda i, idx_ref: (idx_ref[i], 0)),
-            pl.BlockSpec((1, n_pad), lambda i, idx_ref: (idx_ref[i], 0)),
-            pl.BlockSpec((1, d_pad), lambda i, idx_ref: (i, 0)),
+            pl.BlockSpec((1, n_pad, 1), lambda i, idx_ref: (idx_ref[i], 0, 0)),
+            pl.BlockSpec((1, n_pad, 1), lambda i, idx_ref: (idx_ref[i], 0, 0)),
+            pl.BlockSpec((1, 1, d_pad), lambda i, idx_ref: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, d_pad), lambda i, idx_ref: (i, 0)),
-            pl.BlockSpec((1, 1), lambda i, idx_ref: (i, 0)),
+            pl.BlockSpec((1, 1, d_pad), lambda i, idx_ref: (i, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda i, idx_ref: (i, 0, 0)),
         ),
     )
     out, f = pl.pallas_call(
         _warp_kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((b, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(idx.astype(jnp.int32), support_sets, alphas, gammas, z)
-    return f[:, 0], out[:, :d]
+    )(
+        idx.astype(jnp.int32),
+        support_sets,
+        alphas[:, :, None],
+        gammas[:, :, None],
+        z[:, None, :],
+    )
+    return f[:, 0, 0], out[:, 0, :d]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
