@@ -135,7 +135,27 @@ def _measure_tpu():
         o = warp(s_params, zb)
     sync(o)
     warp_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
-    log(f"warp: {warp_evals_per_sec:.0f} evals/s")
+    log(f"warp all-sets: {warp_evals_per_sec:.0f} evals/s")
+
+    # --- fused Pallas f/grad-f kernel at the random-gather pattern ----------
+    zg = jax.random.normal(jax.random.key(8), (4096, 512))
+    ig = jax.random.randint(jax.random.key(9), (4096,), 0, 200)
+
+    @jax.jit
+    def warp_pallas(s_params, zg, ig):
+        return S.direction_fused(s_params, zg, ig)
+
+    try:
+        sync(warp_pallas(s_params, zg, ig))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = warp_pallas(s_params, zg, ig)
+        sync(o)
+        pallas_evals_per_sec = 4096 * reps / (time.perf_counter() - t0)
+        log(f"warp pallas-gather: {pallas_evals_per_sec:.0f} evals/s")
+    except Exception as e:
+        log(f"pallas warp failed: {e}")
+        pallas_evals_per_sec = 0.0
 
     # --- full train step/sec (SNGAN_MNIST reference config, bs=128) --------
     from warpedganspace_tpu.models.api import GeneratorBundle
@@ -170,6 +190,7 @@ def _measure_tpu():
         "stylegan2_1024_traversal_images_per_sec_bf16": bf16_images_per_sec,
         "bf16_psnr_vs_f32_db": bf16_psnr,
         "warp_grad_evals_per_sec": warp_evals_per_sec,
+        "warp_pallas_gather_evals_per_sec": pallas_evals_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
