@@ -74,3 +74,24 @@ def test_full_pipeline(pipeline_env):
 
     codes = load_pt(osp.join(res, hashes[0], "paths_latent_codes.pt"))
     assert np.asarray(codes).shape == (3, 7, 128)
+
+
+def test_traverse_bf16_dtype(pipeline_env):
+    """--dtype bfloat16 renders the same tree (fidelity gate lives in bench)."""
+    from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+    sample_gan.main(["-g", "SNGAN_MNIST", "--num-samples", "1", "--pool", "bf", "--seed", "5"])
+    train.main([
+        "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+        "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+        "--max-shift-magnitude", "0.25", "--max-iter", "2", "--batch-size", "2",
+        "--log-freq", "2", "--ckp-freq", "2",
+    ])
+    exp = osp.join("experiments", "complete", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+    traverse_latent_space.main([
+        "--exp", exp, "--pool", "bf", "--shift-steps", "2", "--eps", "0.2",
+        "--dtype", "bfloat16",
+    ])
+    res = osp.join(exp, "results", "bf", "4_0.2_0.8")
+    h = [d for d in os.listdir(res) if osp.isdir(osp.join(res, d))][0]
+    assert len(os.listdir(osp.join(res, h, "paths_images", "path_000"))) == 5
