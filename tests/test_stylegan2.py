@@ -193,3 +193,28 @@ def test_remat_matches_no_remat():
     l2, g2 = jax.value_and_grad(lambda s: loss(gen_remat, s))(shift)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-7)
+
+
+def test_synthesis_parity_nchw_tail():
+    """channel_multiplier=1 puts C=64/32 at res 128/256, exercising the NCHW
+    small-channel layout switch; output must still match the reference."""
+    torch = torch_or_skip()
+    add_reference_to_path()
+    _install_op_stub(torch)
+    from models.StyleGAN2.model import Generator as RefStyleGAN2
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    torch.manual_seed(1)
+    G = RefStyleGAN2(256, 512, 2, channel_multiplier=1).eval()
+    gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1)
+    params = _convert(G, 256)
+
+    z = np.random.RandomState(7).randn(2, 512).astype(np.float32)
+    with torch.no_grad():
+        ref_img = G([torch.from_numpy(z)], input_is_latent=False,
+                    randomize_noise=False)[0].numpy()
+    img = np.asarray(gen.apply(params, jnp.asarray(z))).transpose(0, 3, 1, 2)
+    peak = ref_img.max() - ref_img.min()
+    psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
+    assert psnr > 40.0, f"PSNR {psnr:.1f} dB"

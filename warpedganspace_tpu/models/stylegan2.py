@@ -84,15 +84,27 @@ def _modulate(w_hwio, style, demodulate: bool):
     return style, d
 
 
-def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool = False):
+def _cvec(v, fmt):
+    """Broadcast a (B, C) per-sample channel vector to the activation layout."""
+    return v[:, None, None, :] if fmt == "NHWC" else v[:, :, None, None]
+
+
+def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool = False,
+                     fmt: str = "NHWC"):
     """Styled conv: modulation -> conv (or lhs-dilated 'transposed' conv) ->
-    demodulation [-> blur when upsampling]."""
+    demodulation [-> blur when upsampling].
+
+    ``fmt`` selects the activation layout: the high-resolution synthesis tail
+    has <=64 channels, which NHWC would pad to the 128-wide lane dimension
+    (measured 5.3x HBM expansion at 1024^2); running it NCHW puts W on the
+    lanes instead.
+    """
     w = p["w"]  # (kh, kw, in, out), equalized-lr scale folded in
     kh = w.shape[0]
     s = nn.linear(p["mod"], style)  # (B, in); bias_init=1 folded in converter
     s, d = _modulate(w, s, demodulate)
 
-    x = x * s[:, None, None, :]
+    x = x * _cvec(s, fmt)
     if upsample:
         # conv_transpose(stride 2, pad 0) == lhs-dilated correlation with the
         # spatially flipped kernel, full (k-1) padding. Alternatives measured
@@ -107,7 +119,7 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
             window_strides=(1, 1),
             padding=((kh - 1, kh - 1), (kh - 1, kh - 1)),
             lhs_dilation=(2, 2),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=(fmt, "HWIO", fmt),
         )
     else:
         pad = kh // 2
@@ -116,36 +128,39 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
             w,
             window_strides=(1, 1),
             padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            dimension_numbers=(fmt, "HWIO", fmt),
         )
     if d is not None:
-        x = x * d[:, None, None, :]
+        x = x * _cvec(d, fmt)
     if upsample:
         # Blur: kernel gain factor^2=4, pad (1, 1) for k=3, f=2, blur len 4
         # (reference ModulatedConv2d :160-166).
         pad0 = (len(BLUR_KERNEL) - 2 - (kh - 1) + 1) // 2 + 1
         pad1 = (len(BLUR_KERNEL) - 2 - (kh - 1)) // 2 + 1
-        x = upfirdn2d(x, _make_blur_kernel(gain=4.0), pad=(pad0, pad1))
+        x = upfirdn2d(x, _make_blur_kernel(gain=4.0), pad=(pad0, pad1), data_format=fmt)
     return x
 
 
-def styled_conv(p: dict, x, style, noise=None, upsample: bool = False):
+def styled_conv(p: dict, x, style, noise=None, upsample: bool = False, fmt: str = "NHWC"):
     """StyledConv: modulated conv + noise injection + fused bias/leaky-relu
     (reference :252-267). ``upsample`` is static structure (convs alternate
     up/plain), NOT a params leaf — a bool leaf would be traced under jit."""
-    x = modulated_conv2d(p, x, style, demodulate=True, upsample=upsample)
+    x = modulated_conv2d(p, x, style, demodulate=True, upsample=upsample, fmt=fmt)
     if noise is not None:
+        if fmt == "NCHW":
+            noise = jnp.transpose(noise, (0, 3, 1, 2))  # (1, H, W, 1) -> (1, 1, H, W)
         x = x + p["noise_weight"] * noise
-    return fused_leaky_relu(x, p["act_bias"])
+    return fused_leaky_relu(x, p["act_bias"], channel_axis=-1 if fmt == "NHWC" else 1)
 
 
-def to_rgb(p: dict, x, style, skip=None):
+def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC"):
     """ToRGB with skip accumulation through a blur-upsample (reference :270-282)."""
-    out = modulated_conv2d(p, x, style, demodulate=False, upsample=False)
-    out = out + p["bias"]
+    out = modulated_conv2d(p, x, style, demodulate=False, upsample=False, fmt=fmt)
+    out = out + (p["bias"] if fmt == "NHWC" else p["bias"][:, None, None])
     if skip is not None:
         # Upsample(blur): kernel gain 4, pad0=(p+1)//2+f-1, pad1=p//2, p=len-2.
-        skip = upfirdn2d(skip, _make_blur_kernel(gain=4.0), up=2, pad=(2, 1))
+        skip = upfirdn2d(skip, _make_blur_kernel(gain=4.0), up=2, pad=(2, 1),
+                         data_format=fmt)
         out = out + skip
     return out
 
@@ -277,22 +292,32 @@ class StyleGAN2Generator:
             else:
                 noise = params["noises"]
 
+        ch = channels_dict(self.channel_multiplier)
         out = jnp.tile(params["const_input"], (b, 1, 1, 1))
         out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
 
-        def block(block_params, out, skip, lat3, n1, n2):
+        def block(block_params, out, skip, lat3, n1, n2, fmt):
             conv_up, conv, rgb = block_params
-            out = styled_conv(conv_up, out, lat3[:, 0], n1, upsample=True)
-            out = styled_conv(conv, out, lat3[:, 1], n2)
-            skip = to_rgb(rgb, out, lat3[:, 2], skip)
+            out = styled_conv(conv_up, out, lat3[:, 0], n1, upsample=True, fmt=fmt)
+            out = styled_conv(conv, out, lat3[:, 1], n2, fmt=fmt)
+            skip = to_rgb(rgb, out, lat3[:, 2], skip, fmt=fmt)
             return out, skip
 
         if self.remat:
-            block = jax.checkpoint(block)
+            block = jax.checkpoint(block, static_argnums=(6,))
 
         i = 1
+        fmt = "NHWC"
         for idx in range(len(params["to_rgbs"])):
+            res = 2 ** (idx + 3)
+            # Switch the (out, skip) state to NCHW once channels drop below the
+            # 128 lane width (resolutions >= 512 with channel_multiplier=2):
+            # NHWC there pads C to 128 — a measured 4-5x HBM/bandwidth waste.
+            if fmt == "NHWC" and ch[res] < 128:
+                out = jnp.transpose(out, (0, 3, 1, 2))
+                skip = jnp.transpose(skip, (0, 3, 1, 2))
+                fmt = "NCHW"
             block_params = (
                 params["convs"][2 * idx],
                 params["convs"][2 * idx + 1],
@@ -300,9 +325,11 @@ class StyleGAN2Generator:
             )
             out, skip = block(
                 block_params, out, skip, latent[:, i : i + 3],
-                noise[2 * idx + 1], noise[2 * idx + 2],
+                noise[2 * idx + 1], noise[2 * idx + 2], fmt,
             )
             i += 2
+        if fmt == "NCHW":
+            skip = jnp.transpose(skip, (0, 2, 3, 1))
         return skip
 
     def forward(

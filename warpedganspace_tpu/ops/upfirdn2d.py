@@ -34,18 +34,21 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down", "pad"))
+@functools.partial(jax.jit, static_argnames=("up", "down", "pad", "data_format"))
 def upfirdn2d(
     x: jax.Array,
     kernel: jax.Array,
     up: int | tuple[int, int] = 1,
     down: int | tuple[int, int] = 1,
     pad: tuple[int, ...] = (0, 0),
+    data_format: str = "NHWC",
 ) -> jax.Array:
-    """Apply upfirdn to an NHWC tensor.
+    """Apply upfirdn to an NHWC (or NCHW) tensor.
 
     Args:
-        x:      (B, H, W, C) input.
+        x:      (B, H, W, C) input (or (B, C, H, W) with data_format="NCHW" —
+                the layout used for the small-channel high-resolution synthesis
+                tail, where NHWC would pad channels to the 128 lane width).
         kernel: (kh, kw) FIR filter (not flipped; matches reference call sites).
         up:     int or (up_y, up_x) upsampling factor.
         down:   int or (down_y, down_x) downsampling factor.
@@ -54,7 +57,7 @@ def upfirdn2d(
                 (op/upfirdn2d.py:144-149).
 
     Returns:
-        (B, H', W', C) filtered tensor.
+        filtered tensor in the same layout.
     """
     up_y, up_x = (up, up) if isinstance(up, int) else up
     down_y, down_x = (down, down) if isinstance(down, int) else down
@@ -63,7 +66,7 @@ def upfirdn2d(
     else:
         pad_x0, pad_x1, pad_y0, pad_y1 = pad
 
-    c = x.shape[-1]
+    c = x.shape[-1] if data_format == "NHWC" else x.shape[1]
     kh, kw = kernel.shape
     # Correlating with the flipped kernel == convolving with the kernel; XLA's
     # conv op correlates, so pass the flipped kernel like the reference does
@@ -85,7 +88,7 @@ def upfirdn2d(
         padding=padding,
         lhs_dilation=(up_y, up_x),
         rhs_dilation=(1, 1),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=(data_format, "HWIO", data_format),
         feature_group_count=c,
     )
 
