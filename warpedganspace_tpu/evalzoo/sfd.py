@@ -221,6 +221,20 @@ class SFDDetector:
         olist_np = [np.asarray(o).transpose(0, 3, 1, 2) for o in olist]
         return _decode_batch(olist_np)
 
+    def detect_from_image(self, image_or_path):
+        """Detect faces in one RGB image (array or path) — reference
+        sfd_detector.py:16-23: NMS@0.3 then score > 0.5."""
+        if isinstance(image_or_path, str):
+            import cv2
+
+            img = cv2.cvtColor(cv2.imread(image_or_path), cv2.COLOR_BGR2RGB)
+        else:
+            img = np.asarray(image_or_path)
+        bboxlist = self.batch_detect(img[None].astype(np.float32))[0]
+        keep = nms(bboxlist, 0.3)
+        bboxlist = bboxlist[keep, :]
+        return [x for x in bboxlist if x[-1] > 0.5]
+
     def detect_from_batch(self, img_batch_nhwc: np.ndarray):
         """Returns (bboxlists, error, error_index) like the reference."""
         bboxlists = self.batch_detect(img_batch_nhwc)
