@@ -299,9 +299,18 @@ class StyleGAN2Generator:
 
         def block(block_params, out, skip, lat3, n1, n2, fmt):
             conv_up, conv, rgb = block_params
-            out = styled_conv(conv_up, out, lat3[:, 0], n1, upsample=True, fmt=fmt)
-            out = styled_conv(conv, out, lat3[:, 1], n2, fmt=fmt)
-            skip = to_rgb(rgb, out, lat3[:, 2], skip, fmt=fmt)
+            sc = styled_conv
+            rg = to_rgb
+            if self.remat:
+                # Per-op remat: the backward then holds ONE high-res temp set
+                # at a time (at 1024^2 the conv temps are lane-padded to ~4GB
+                # each regardless of batch — XLA assigns feature-minor conv
+                # layouts — so per-block remat still OOMs a 16GB chip).
+                sc = jax.checkpoint(styled_conv, static_argnums=(4, 5))
+                rg = jax.checkpoint(to_rgb, static_argnums=(4,))
+            out = sc(conv_up, out, lat3[:, 0], n1, True, fmt)
+            out = sc(conv, out, lat3[:, 1], n2, False, fmt)
+            skip = rg(rgb, out, lat3[:, 2], skip, fmt)
             return out, skip
 
         if self.remat:
