@@ -218,3 +218,46 @@ def test_synthesis_parity_nchw_tail():
     peak = ref_img.max() - ref_img.min()
     psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
     assert psnr > 40.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_synthesis_parity_s2d_chain():
+    """channel_multiplier=1 at 512px gives TWO consecutive <128-channel blocks,
+    exercising the S2D->S2D upsample conv and blur-up kernels."""
+    torch = torch_or_skip()
+    add_reference_to_path()
+    _install_op_stub(torch)
+    from models.StyleGAN2.model import Generator as RefStyleGAN2
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    torch.manual_seed(2)
+    G = RefStyleGAN2(512, 512, 2, channel_multiplier=1).eval()
+    gen = StyleGAN2Generator(resolution=512, n_mlp=2, channel_multiplier=1)
+    params = _convert(G, 512)
+
+    z = np.random.RandomState(8).randn(1, 512).astype(np.float32)
+    with torch.no_grad():
+        ref_img = G([torch.from_numpy(z)], input_is_latent=False,
+                    randomize_noise=False)[0].numpy()
+    img = np.asarray(gen.apply(params, jnp.asarray(z))).transpose(0, 3, 1, 2)
+    assert img.shape == ref_img.shape == (1, 3, 512, 512)
+    peak = ref_img.max() - ref_img.min()
+    psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
+    assert psnr > 40.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_tail_layouts_equivalent():
+    """s2d / nchw / nhwc tail layouts produce the same images."""
+    import dataclasses as dc
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    base = StyleGAN2Generator(resolution=128, n_mlp=2, channel_multiplier=1)
+    params = base.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    outs = {}
+    for layout in ("s2d", "nchw", "nhwc"):
+        gen = dc.replace(base, tail_layout=layout)
+        outs[layout] = np.asarray(gen.apply(params, z))
+    np.testing.assert_allclose(outs["s2d"], outs["nhwc"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(outs["nchw"], outs["nhwc"], rtol=1e-4, atol=1e-5)

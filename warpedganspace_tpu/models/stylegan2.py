@@ -86,11 +86,186 @@ def _modulate(w_hwio, style, demodulate: bool):
 
 def _cvec(v, fmt):
     """Broadcast a (B, C) per-sample channel vector to the activation layout."""
-    return v[:, None, None, :] if fmt == "NHWC" else v[:, :, None, None]
+    if fmt == "NCHW":
+        return v[:, :, None, None]
+    if fmt == "S2D":
+        # s2d channel layout (phase_y, phase_x, c): the per-channel vector
+        # repeats across the 4 phases.
+        return jnp.tile(v, (1, 4))[:, None, None, :]
+    return v[:, None, None, :]
+
+
+# --------------------------------------------------------------------------- #
+# Space-to-depth (S2D) tail.                                                   #
+#                                                                              #
+# TPU convolutions put features on the 128-wide lane dimension, so the 16-64   #
+# channel high-resolution layers waste 2-8x HBM/bandwidth on lane padding (the #
+# dominant cost: the 1024-res block alone is ~68% of a 1024^2 forward). In the #
+# S2D representation an activation of resolution r with C channels is stored   #
+# as (B, r/2, r/2, 4C) — full lanes, zero padding — with channel layout        #
+# idx = (phase_y*2 + phase_x)*C + c, i.e. s2d[x][i, j, (py, px, c)] =          #
+# x[2i+py, 2j+px, c]. Every tail op is re-derived as an exact convolution on   #
+# the half grid (polyphase algebra; kernels built from the learned weights at  #
+# trace time, cost negligible):                                                #
+#                                                                              #
+# - entry upsample conv (NHWC in, S2D out): the conv_transpose+blur composite  #
+#   6x6 kernel split into its four 3x3 polyphase kernels, stacked on the       #
+#   output-channel axis — a plain stride-1 conv on the input grid.             #
+# - same-grid 3x3 conv (S2D -> S2D): output pixel 2i+dy reads full-grid taps   #
+#   2i+dy+o, i.e. s2d block i + (dy+o-e)//2, phase e = (dy+o) mod 2 — a 3x3    #
+#   block conv with a sparsity-structured (3,3,4C,4Co) kernel.                 #
+# - upsample conv (S2D -> S2D, grids r/4 -> r/2): per output phase f the       #
+#   composite's 3-tap polyphase kernel reads full-grid x[m+o'-1]; with         #
+#   x full-grid index 2u+e this lands at dilated-kernel position k = o'+1-e,   #
+#   giving a (4,4,4Cin,4Co) kernel applied with lhs_dilation 2, padding 2.     #
+# - skip blur-upsamples: same two derivations with the 4-tap blur's 2-tap      #
+#   polyphase kernels (entry: 3x3 kernel; in-s2d: 4x4 dilated kernel).         #
+# - ToRGB 1x1: block-diagonal (1,1,4C,12) kernel (phases don't mix).           #
+# --------------------------------------------------------------------------- #
+
+_PHASE_ROWS = ([1, 3, 5], [0, 2, 4])  # composite-kernel rows per output phase
+
+
+def _compose_upsample_kernel(w: jax.Array) -> jax.Array:
+    """6x6 composite of the transposed-conv kernel with the 4-tap blur:
+    C = flip(w (*) 4*blur) — exact algebra of corr(corr(., flip(w)), flip(4b))."""
+    kh, kw, cin, cout = w.shape
+    blur = _make_blur_kernel(gain=4.0)
+    bl = blur.shape[0]
+    io = cin * cout
+    w_img = w.reshape(1, kh, kw, io)
+    b_k = jnp.tile(jnp.flip(blur, (0, 1))[:, :, None, None], (1, 1, 1, io)).astype(w.dtype)
+    full = lax.conv_general_dilated(
+        w_img, b_k, window_strides=(1, 1),
+        padding=((bl - 1, bl - 1), (bl - 1, bl - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=io,
+    )[0]
+    return jnp.flip(full, (0, 1)).reshape(kh + bl - 1, kw + bl - 1, cin, cout)
+
+
+def _s2d_entry_conv_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,Cin,Co) upsample weight -> (3,3,Cin,4Co) polyphase kernel
+    (NHWC input grid -> S2D output on the same grid)."""
+    comp = _compose_upsample_kernel(w)                 # (6, 6, Cin, Co)
+    cin, co = comp.shape[2], comp.shape[3]
+    rows = (jnp.array(_PHASE_ROWS[0]), jnp.array(_PHASE_ROWS[1]))
+    phases = [comp[rows[fy]][:, rows[fx]] for fy in range(2) for fx in range(2)]
+    return jnp.stack(phases, axis=3).reshape(3, 3, cin, 4 * co)
+
+
+def _s2d_same_conv_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,Co) same-resolution weight -> (3,3,4C,4Co) S2D block kernel."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((3, 3, 4 * c, 4 * co), dtype=w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            for oy in (-1, 0, 1):
+                for ox in (-1, 0, 1):
+                    ey, ex = (dy + oy) % 2, (dx + ox) % 2
+                    uy, ux = (dy + oy - ey) // 2, (dx + ox - ex) // 2
+                    e_idx = (ey * 2 + ex) * c
+                    f_idx = (dy * 2 + dx) * co
+                    k = k.at[
+                        uy + 1, ux + 1, e_idx : e_idx + c, f_idx : f_idx + co
+                    ].set(w[oy + 1, ox + 1])
+    return k
+
+
+def _s2d_up_conv_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,Cin,Co) upsample weight -> (4,4,4Cin,4Co) S2D->S2D kernel
+    (applied with lhs_dilation 2, padding 2)."""
+    comp = _compose_upsample_kernel(w)                 # (6, 6, Cin, Co)
+    cin, co = comp.shape[2], comp.shape[3]
+    k = jnp.zeros((4, 4, 4 * cin, 4 * co), dtype=w.dtype)
+    for fy in range(2):
+        for fx in range(2):
+            f_idx = (fy * 2 + fx) * co
+            for oy in range(3):
+                for ox in range(3):
+                    tap = comp[_PHASE_ROWS[fy][oy], _PHASE_ROWS[fx][ox]]  # (Cin, Co)
+                    for ey in range(2):
+                        for ex in range(2):
+                            e_idx = (ey * 2 + ex) * cin
+                            k = k.at[
+                                oy + 1 - ey, ox + 1 - ex,
+                                e_idx : e_idx + cin, f_idx : f_idx + co,
+                            ].set(tap)
+    return k
+
+
+def _blur_taps():
+    """Correlation taps of the upsample blur (flip of 4*blur), per output phase:
+    [(full-grid offset, (ty, tx) tap index)] with phase f using t = f, f+2."""
+    fb = jnp.flip(_make_blur_kernel(gain=4.0), (0, 1))
+    # 1D: f=0 -> taps t=0 @ offset -1, t=2 @ offset 0; f=1 -> t=1 @ 0, t=3 @ +1.
+    offs = {0: [(-1, 0), (0, 2)], 1: [(0, 1), (1, 3)]}
+    return fb, offs
+
+
+def _s2d_entry_blur_kernel(c: int, dtype) -> jax.Array:
+    """Blur-upsample of an NHWC (.., c) map into its S2D rep on the same grid:
+    (3,3,c,4c) kernel, padding 1."""
+    fb, offs = _blur_taps()
+    k = jnp.zeros((3, 3, c, 4 * c), dtype=dtype)
+    eye = jnp.eye(c, dtype=dtype)
+    for fy in range(2):
+        for fx in range(2):
+            f_idx = (fy * 2 + fx) * c
+            for (uy, ty) in offs[fy]:
+                for (ux, tx) in offs[fx]:
+                    k = k.at[uy + 1, ux + 1, :, f_idx : f_idx + c].set(
+                        fb[ty, tx] * eye
+                    )
+    return k
+
+
+def _s2d_up_blur_kernel(c: int, dtype) -> jax.Array:
+    """Blur-upsample of an S2D map (grid g) to the next S2D level (grid 2g):
+    (4,4,4c,4c) kernel, lhs_dilation 2, padding 2."""
+    fb, offs = _blur_taps()
+    k = jnp.zeros((4, 4, 4 * c, 4 * c), dtype=dtype)
+    eye = jnp.eye(c, dtype=dtype)
+    for fy in range(2):
+        for fx in range(2):
+            f_idx = (fy * 2 + fx) * c
+            for (uy, ty) in offs[fy]:
+                for (ux, tx) in offs[fx]:
+                    for ey in range(2):
+                        for ex in range(2):
+                            e_idx = (ey * 2 + ex) * c
+                            k = k.at[
+                                uy + 2 - ey, ux + 2 - ex,
+                                e_idx : e_idx + c, f_idx : f_idx + c,
+                            ].set(fb[ty, tx] * eye)
+    return k
+
+
+def _s2d_rgb_kernel(w: jax.Array) -> jax.Array:
+    """(1,1,C,3) ToRGB weight -> block-diagonal (1,1,4C,12) S2D kernel."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((1, 1, 4 * c, 4 * co), dtype=w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p * c : (p + 1) * c, p * co : (p + 1) * co].set(w[0, 0])
+    return k
+
+
+def _to_s2d(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C) with channel layout (py, px, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _from_s2d(x: jax.Array) -> jax.Array:
+    """(B, h, w, 4C) -> (B, 2h, 2w, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
 
 
 def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool = False,
-                     fmt: str = "NHWC"):
+                     fmt: str = "NHWC", entry: bool = False):
     """Styled conv: modulation -> conv (or lhs-dilated 'transposed' conv) ->
     demodulation [-> blur when upsampling].
 
@@ -103,6 +278,25 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
     kh = w.shape[0]
     s = nn.linear(p["mod"], style)  # (B, in); bias_init=1 folded in converter
     s, d = _modulate(w, s, demodulate)
+
+    if fmt == "S2D":
+        # Blur is folded into the S2D kernels; demod is per-phase-tiled.
+        x = x * (s[:, None, None, :] if entry else _cvec(s, "S2D"))
+        if upsample and entry:
+            k, dil, pad = _s2d_entry_conv_kernel(w), (1, 1), 1
+        elif upsample:
+            k, dil, pad = _s2d_up_conv_kernel(w), (2, 2), 2
+        elif kh == 1:
+            k, dil, pad = _s2d_rgb_kernel(w), (1, 1), 0
+        else:
+            k, dil, pad = _s2d_same_conv_kernel(w), (1, 1), 1
+        x = lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+            lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if d is not None:
+            x = x * _cvec(d, "S2D")
+        return x
 
     x = x * _cvec(s, fmt)
     if upsample:
@@ -141,26 +335,53 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
     return x
 
 
-def styled_conv(p: dict, x, style, noise=None, upsample: bool = False, fmt: str = "NHWC"):
+def styled_conv(p: dict, x, style, noise=None, upsample: bool = False, fmt: str = "NHWC",
+                entry: bool = False):
     """StyledConv: modulated conv + noise injection + fused bias/leaky-relu
-    (reference :252-267). ``upsample`` is static structure (convs alternate
-    up/plain), NOT a params leaf — a bool leaf would be traced under jit."""
-    x = modulated_conv2d(p, x, style, demodulate=True, upsample=upsample, fmt=fmt)
+    (reference :252-267). ``upsample``/``fmt``/``entry`` are static structure
+    (convs alternate up/plain), NOT params leaves — a bool leaf would be traced
+    under jit."""
+    x = modulated_conv2d(p, x, style, demodulate=True, upsample=upsample, fmt=fmt,
+                         entry=entry)
     if noise is not None:
         if fmt == "NCHW":
             noise = jnp.transpose(noise, (0, 3, 1, 2))  # (1, H, W, 1) -> (1, 1, H, W)
-        x = x + p["noise_weight"] * noise
-    return fused_leaky_relu(x, p["act_bias"], channel_axis=-1 if fmt == "NHWC" else 1)
+            x = x + p["noise_weight"] * noise
+        elif fmt == "S2D":
+            b, h, w, c4 = x.shape
+            n_s2d = _to_s2d(noise)  # (1, h, w, 4)
+            x = (x.reshape(b, h, w, 4, c4 // 4)
+                 + p["noise_weight"] * n_s2d[..., None]).reshape(b, h, w, c4)
+        else:
+            x = x + p["noise_weight"] * noise
+    bias = jnp.tile(p["act_bias"], 4) if fmt == "S2D" else p["act_bias"]
+    return fused_leaky_relu(x, bias, channel_axis=1 if fmt == "NCHW" else -1)
 
 
-def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC"):
+def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC", entry: bool = False):
     """ToRGB with skip accumulation through a blur-upsample (reference :270-282)."""
     out = modulated_conv2d(p, x, style, demodulate=False, upsample=False, fmt=fmt)
-    out = out + (p["bias"] if fmt == "NHWC" else p["bias"][:, None, None])
+    if fmt == "NCHW":
+        out = out + p["bias"][:, None, None]
+    elif fmt == "S2D":
+        out = out + jnp.tile(p["bias"], 4)
+    else:
+        out = out + p["bias"]
     if skip is not None:
         # Upsample(blur): kernel gain 4, pad0=(p+1)//2+f-1, pad1=p//2, p=len-2.
-        skip = upfirdn2d(skip, _make_blur_kernel(gain=4.0), up=2, pad=(2, 1),
-                         data_format=fmt)
+        if fmt == "S2D":
+            c = skip.shape[-1] if entry else skip.shape[-1] // 4
+            if entry:  # NHWC skip -> S2D skip on the same grid
+                k, dil, pad = _s2d_entry_blur_kernel(c, skip.dtype), (1, 1), 1
+            else:      # S2D skip -> S2D skip on the doubled grid
+                k, dil, pad = _s2d_up_blur_kernel(c, skip.dtype), (2, 2), 2
+            skip = lax.conv_general_dilated(
+                skip, k, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+                lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            skip = upfirdn2d(skip, _make_blur_kernel(gain=4.0), up=2, pad=(2, 1),
+                             data_format=fmt)
         out = out + skip
     return out
 
@@ -175,6 +396,9 @@ class StyleGAN2Generator:
     # Rematerialize per-resolution blocks during backprop-through-G (training
     # at 1024^2 with bs 8-12 otherwise exhausts HBM — SURVEY hard part #2).
     remat: bool = False
+    # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth,
+    # fastest — see the S2D section above), "nchw", or "nhwc" (plain).
+    tail_layout: str = "s2d"
 
     @property
     def dim_z(self) -> int:
@@ -297,7 +521,7 @@ class StyleGAN2Generator:
         out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
 
-        def block(block_params, out, skip, lat3, n1, n2, fmt):
+        def block(block_params, out, skip, lat3, n1, n2, fmt, entry):
             conv_up, conv, rgb = block_params
             sc = styled_conv
             rg = to_rgb
@@ -305,28 +529,34 @@ class StyleGAN2Generator:
                 # Per-op remat: the backward then holds ONE high-res temp set
                 # at a time (at 1024^2 the conv temps are lane-padded to ~4GB
                 # each regardless of batch — XLA assigns feature-minor conv
-                # layouts — so per-block remat still OOMs a 16GB chip).
-                sc = jax.checkpoint(styled_conv, static_argnums=(4, 5))
-                rg = jax.checkpoint(to_rgb, static_argnums=(4,))
-            out = sc(conv_up, out, lat3[:, 0], n1, True, fmt)
-            out = sc(conv, out, lat3[:, 1], n2, False, fmt)
-            skip = rg(rgb, out, lat3[:, 2], skip, fmt)
+                # layouts — so per-block remat still OOMs a 16GB chip; the S2D
+                # tail removes that padding entirely).
+                sc = jax.checkpoint(styled_conv, static_argnums=(4, 5, 6))
+                rg = jax.checkpoint(to_rgb, static_argnums=(4, 5))
+            out = sc(conv_up, out, lat3[:, 0], n1, True, fmt, entry)
+            out = sc(conv, out, lat3[:, 1], n2, False, fmt, False)
+            skip = rg(rgb, out, lat3[:, 2], skip, fmt, entry)
             return out, skip
 
         if self.remat:
-            block = jax.checkpoint(block, static_argnums=(6,))
+            block = jax.checkpoint(block, static_argnums=(6, 7))
 
         i = 1
         fmt = "NHWC"
         for idx in range(len(params["to_rgbs"])):
             res = 2 ** (idx + 3)
-            # Switch the (out, skip) state to NCHW once channels drop below the
-            # 128 lane width (resolutions >= 512 with channel_multiplier=2):
-            # NHWC there pads C to 128 — a measured 4-5x HBM/bandwidth waste.
+            entry = False
+            # Re-lay-out the <128-channel tail: NHWC pads C to the 128-wide
+            # lane dimension there (measured 4-5x HBM/bandwidth waste).
             if fmt == "NHWC" and ch[res] < 128:
-                out = jnp.transpose(out, (0, 3, 1, 2))
-                skip = jnp.transpose(skip, (0, 3, 1, 2))
-                fmt = "NCHW"
+                if self.tail_layout == "s2d":
+                    # The upsample conv of this block performs the NHWC -> S2D
+                    # transition for the main path; ToRGB does it for skip.
+                    fmt, entry = "S2D", True
+                elif self.tail_layout == "nchw":
+                    out = jnp.transpose(out, (0, 3, 1, 2))
+                    skip = jnp.transpose(skip, (0, 3, 1, 2))
+                    fmt = "NCHW"
             block_params = (
                 params["convs"][2 * idx],
                 params["convs"][2 * idx + 1],
@@ -334,11 +564,13 @@ class StyleGAN2Generator:
             )
             out, skip = block(
                 block_params, out, skip, latent[:, i : i + 3],
-                noise[2 * idx + 1], noise[2 * idx + 2], fmt,
+                noise[2 * idx + 1], noise[2 * idx + 2], fmt, entry,
             )
             i += 2
         if fmt == "NCHW":
             skip = jnp.transpose(skip, (0, 2, 3, 1))
+        elif fmt == "S2D":
+            skip = _from_s2d(skip)
         return skip
 
     def forward(
