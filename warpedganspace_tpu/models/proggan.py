@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from warpedganspace_tpu.nn import core as nn
+from warpedganspace_tpu.ops import s2d
 
 # (kernel, padding, upsample) for the 18 feature blocks — channels are implied
 # by the converted weights (512 x4, then halving to 16; model.py:67-84).
@@ -31,6 +32,10 @@ class ProgGANGenerator:
     image_channels: int = 3
     # Rematerialize blocks during backprop-through-G (1024^2 training memory).
     remat: bool = False
+    # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth;
+    # removes the TPU lane padding of the 16-64 channel layers — see
+    # ops/s2d.py) or "nhwc" (plain).
+    tail_layout: str = "s2d"
 
     def init(self, key: jax.Array) -> dict:
         """Random init (test use; real use converts the pretrained .pth)."""
@@ -64,20 +69,51 @@ class ProgGANGenerator:
             z = z + shift
         x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed
 
-        def block(p, x, kernel, pad, up):
-            x = nn.pixel_norm(x)
-            if up:
-                x = nn.upsample_nearest(x, 2)
-            x = nn.conv2d(p["conv"], x, padding=pad)
-            x = x * p["wscale_scale"] + p["wscale_bias"]
+        def block(p, x, kernel, pad, up, fmt, entry):
+            if fmt == "S2D" and not entry:
+                x = s2d.pixel_norm_s2d(x)
+                if up:
+                    x = s2d.s2d_conv(x, s2d.nearest_up_conv_s2d_kernel(p["conv"]["w"]),
+                                     dilated=True)
+                else:
+                    x = s2d.s2d_conv(x, s2d.same_conv_kernel(p["conv"]["w"]),
+                                     dilated=False)
+                x = x * p["wscale_scale"] + jnp.tile(p["wscale_bias"], 4)
+            elif fmt == "S2D":  # entry: NHWC in, S2D out (always an up block)
+                x = nn.pixel_norm(x)
+                x = s2d.s2d_conv(x, s2d.nearest_up_conv_entry_kernel(p["conv"]["w"]),
+                                 dilated=False)
+                x = x * p["wscale_scale"] + jnp.tile(p["wscale_bias"], 4)
+            else:
+                x = nn.pixel_norm(x)
+                if up:
+                    x = nn.upsample_nearest(x, 2)
+                x = nn.conv2d(p["conv"], x, padding=pad)
+                x = x * p["wscale_scale"] + p["wscale_bias"]
             return jnp.where(x >= 0, x, 0.2 * x)
 
         if self.remat:
-            block = jax.checkpoint(block, static_argnums=(2, 3, 4))
+            block = jax.checkpoint(block, static_argnums=(2, 3, 4, 5, 6))
 
+        fmt = "NHWC"
         for spec, p in zip(_BLOCK_SPECS, params["blocks"]):
             kernel, pad, up = spec
-            x = block(p, x, kernel, pad, up)
+            entry = False
+            if (
+                self.tail_layout == "s2d"
+                and fmt == "NHWC"
+                and up
+                and p["conv"]["w"].shape[3] < 128
+            ):
+                fmt, entry = "S2D", True
+            x = block(p, x, kernel, pad, up, fmt, entry)
+        if fmt == "S2D":
+            x = s2d.pixel_norm_s2d(x)
+            x = s2d.s2d_conv(x, s2d.diag_1x1_kernel(params["out"]["conv"]["w"]),
+                             dilated=False)
+            x = x * params["out"]["wscale_scale"] + jnp.tile(
+                params["out"]["wscale_bias"], 4)
+            return s2d.from_s2d(x)
         x = nn.pixel_norm(x)
         x = nn.conv2d(params["out"]["conv"], x, padding=0)
         x = x * params["out"]["wscale_scale"] + params["out"]["wscale_bias"]

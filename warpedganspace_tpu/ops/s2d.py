@@ -1,0 +1,155 @@
+"""Space-to-depth (S2D) convolution re-derivations.
+
+TPU convolutions place features on the 128-wide lane dimension, so layers with
+<128 channels pad 2-8x in HBM and bandwidth. In the S2D representation a
+resolution-r, C-channel activation is stored as (B, r/2, r/2, 4C) — full
+lanes — with channel layout idx = (phase_y*2 + phase_x)*C + c, i.e.
+s2d(x)[i, j, (py, px, c)] = x[2i+py, 2j+px, c].
+
+This module holds the generic, exactly-derived kernel builders (polyphase
+algebra). Model-specific composites (e.g. StyleGAN2's conv_transpose+blur) live
+with their models; ProgGAN's nearest-up+conv lives here as the canonical
+"upsample" example.
+
+Derivation sketch (1D, generalizes by outer product):
+- same-grid 3x3 conv: output full-grid pixel p = 2i+dy reads taps p+o; with
+  p+o = 2(i+U)+e this is a 3-block kernel entry at (U+1, phase e -> phase dy).
+- upsample ops mapping grid g -> grid 2g: per output phase f the op is a
+  small set of full-grid taps x[m+off]; with m+off = 2u+e the tap lands at
+  dilated-kernel position k = off - e + pad, applied with lhs_dilation=2.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def to_s2d(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def from_s2d(x: jax.Array) -> jax.Array:
+    """(B, h, w, 4C) -> (B, 2h, 2w, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+def same_conv_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,C,Co) same-resolution conv weight -> (3,3,4C,4Co) S2D kernel
+    (apply with stride 1, padding 1 on the half grid)."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((3, 3, 4 * c, 4 * co), dtype=w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            for oy in (-1, 0, 1):
+                for ox in (-1, 0, 1):
+                    ey, ex = (dy + oy) % 2, (dx + ox) % 2
+                    uy, ux = (dy + oy - ey) // 2, (dx + ox - ex) // 2
+                    k = k.at[
+                        uy + 1, ux + 1,
+                        (ey * 2 + ex) * c : (ey * 2 + ex) * c + c,
+                        (dy * 2 + dx) * co : (dy * 2 + dx) * co + co,
+                    ].set(w[oy + 1, ox + 1])
+    return k
+
+
+def diag_1x1_kernel(w: jax.Array) -> jax.Array:
+    """(1,1,C,Co) 1x1 conv weight -> block-diagonal (1,1,4C,4Co) S2D kernel."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((1, 1, 4 * c, 4 * co), dtype=w.dtype)
+    for p in range(4):
+        k = k.at[0, 0, p * c : (p + 1) * c, p * co : (p + 1) * co].set(w[0, 0])
+    return k
+
+
+def _nearest_up_conv_taps(w: jax.Array):
+    """Phase taps of [2x nearest upsample -> conv3x3(pad 1)].
+
+    y[p] = sum_o w[o+1] up(x)[p+o] with up(x)[n] = x[n//2]:
+    phase 0 taps x[m-1] (w[0]) and x[m] (w[1]+w[2]);
+    phase 1 taps x[m] (w[0]+w[1]) and x[m+1] (w[2]).
+    Returns taps[(fy, fx)] = [((offy, offx), W (C,Co))].
+    """
+    rows = {0: {-1: [0], 0: [1, 2]}, 1: {0: [0, 1], 1: [2]}}
+    taps = {}
+    for fy in range(2):
+        for fx in range(2):
+            entries = []
+            for offy, oys in rows[fy].items():
+                for offx, oxs in rows[fx].items():
+                    weight = sum(w[oy, ox] for oy in oys for ox in oxs)
+                    entries.append(((offy, offx), weight))
+            taps[(fy, fx)] = entries
+    return taps
+
+
+def up_entry_kernel_from_taps(taps, cin: int, cout: int, dtype) -> jax.Array:
+    """Upsample op with NHWC input (grid g) and S2D output (same grid g):
+    plain stride-1 conv kernel (3,3,Cin,4Co), padding 1."""
+    k = jnp.zeros((3, 3, cin, 4 * cout), dtype=dtype)
+    for (fy, fx), entries in taps.items():
+        f_idx = (fy * 2 + fx) * cout
+        for (offy, offx), weight in entries:
+            k = k.at[offy + 1, offx + 1, :, f_idx : f_idx + cout].set(weight)
+    return k
+
+
+def up_s2d_kernel_from_taps(taps, cin: int, cout: int, dtype) -> jax.Array:
+    """Upsample op with S2D input (grid g) and S2D output (grid 2g):
+    (4,4,4Cin,4Co) kernel, apply with lhs_dilation 2, padding 2.
+
+    Each full-grid tap x[m+off] is x_s2d[(m+off-e)/2, e]; it lands at dilated
+    kernel position k = off + 2 - e for both parities e (the dilation zeros
+    select the live one per output position)."""
+    k = jnp.zeros((4, 4, 4 * cin, 4 * cout), dtype=dtype)
+    for (fy, fx), entries in taps.items():
+        f_idx = (fy * 2 + fx) * cout
+        for (offy, offx), weight in entries:
+            for ey in range(2):
+                for ex in range(2):
+                    e_idx = (ey * 2 + ex) * cin
+                    k = k.at[
+                        offy + 2 - ey, offx + 2 - ex,
+                        e_idx : e_idx + cin, f_idx : f_idx + cout,
+                    ].set(weight)
+    return k
+
+
+def nearest_up_conv_entry_kernel(w: jax.Array) -> jax.Array:
+    """ProgGAN NormUpscaleConvBlock, NHWC -> S2D."""
+    return up_entry_kernel_from_taps(
+        _nearest_up_conv_taps(w), w.shape[2], w.shape[3], w.dtype
+    )
+
+
+def nearest_up_conv_s2d_kernel(w: jax.Array) -> jax.Array:
+    """ProgGAN NormUpscaleConvBlock, S2D -> S2D."""
+    return up_s2d_kernel_from_taps(
+        _nearest_up_conv_taps(w), w.shape[2], w.shape[3], w.dtype
+    )
+
+
+def s2d_conv(x: jax.Array, k: jax.Array, dilated: bool) -> jax.Array:
+    """Apply an S2D kernel: plain pad-1 conv, or lhs-dilated grid-doubling conv."""
+    if dilated:
+        return lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    pad = k.shape[0] // 2
+    return lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def pixel_norm_s2d(x: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """PixelNorm over true channels — per phase group in the S2D layout."""
+    b, h, w, c4 = x.shape
+    y = x.reshape(b, h, w, 4, c4 // 4)
+    y = y * lax.rsqrt(jnp.mean(jnp.square(y), axis=-1, keepdims=True) + eps)
+    return y.reshape(b, h, w, c4)
