@@ -252,7 +252,9 @@ def test_tail_layouts_equivalent():
 
     from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
 
-    base = StyleGAN2Generator(resolution=128, n_mlp=2, channel_multiplier=1)
+    # resolution 256 @ channel_multiplier 1 has 64/32-channel blocks, so the
+    # tail layouts actually engage (128 would be all-NHWC and vacuous).
+    base = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1)
     params = base.init(jax.random.key(0))
     z = jax.random.normal(jax.random.key(1), (2, 512))
     outs = {}

@@ -65,6 +65,9 @@ class ProgGANGenerator:
         Parity: ProgGANWrapper.forward reshapes z to (B, 512, 1, 1)
         (models/gan_load.py:109-120) and runs the Sequential (model.py:86-95).
         """
+        if self.tail_layout not in ("s2d", "nhwc"):
+            raise ValueError(f"unknown tail_layout {self.tail_layout!r} "
+                             "(ProgGAN supports 's2d' and 'nhwc')")
         if shift is not None:
             z = z + shift
         x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed

@@ -41,6 +41,7 @@ from jax import lax
 
 from warpedganspace_tpu.nn import core as nn
 from warpedganspace_tpu.ops.fused_act import fused_leaky_relu
+from warpedganspace_tpu.ops import s2d as s2d_ops
 from warpedganspace_tpu.ops.upfirdn2d import upfirdn2d
 
 BLUR_KERNEL = (1.0, 3.0, 3.0, 1.0)
@@ -153,24 +154,6 @@ def _s2d_entry_conv_kernel(w: jax.Array) -> jax.Array:
     return jnp.stack(phases, axis=3).reshape(3, 3, cin, 4 * co)
 
 
-def _s2d_same_conv_kernel(w: jax.Array) -> jax.Array:
-    """(3,3,C,Co) same-resolution weight -> (3,3,4C,4Co) S2D block kernel."""
-    _, _, c, co = w.shape
-    k = jnp.zeros((3, 3, 4 * c, 4 * co), dtype=w.dtype)
-    for dy in range(2):
-        for dx in range(2):
-            for oy in (-1, 0, 1):
-                for ox in (-1, 0, 1):
-                    ey, ex = (dy + oy) % 2, (dx + ox) % 2
-                    uy, ux = (dy + oy - ey) // 2, (dx + ox - ex) // 2
-                    e_idx = (ey * 2 + ex) * c
-                    f_idx = (dy * 2 + dx) * co
-                    k = k.at[
-                        uy + 1, ux + 1, e_idx : e_idx + c, f_idx : f_idx + co
-                    ].set(w[oy + 1, ox + 1])
-    return k
-
-
 def _s2d_up_conv_kernel(w: jax.Array) -> jax.Array:
     """(3,3,Cin,Co) upsample weight -> (4,4,4Cin,4Co) S2D->S2D kernel
     (applied with lhs_dilation 2, padding 2)."""
@@ -240,30 +223,6 @@ def _s2d_up_blur_kernel(c: int, dtype) -> jax.Array:
     return k
 
 
-def _s2d_rgb_kernel(w: jax.Array) -> jax.Array:
-    """(1,1,C,3) ToRGB weight -> block-diagonal (1,1,4C,12) S2D kernel."""
-    _, _, c, co = w.shape
-    k = jnp.zeros((1, 1, 4 * c, 4 * co), dtype=w.dtype)
-    for p in range(4):
-        k = k.at[0, 0, p * c : (p + 1) * c, p * co : (p + 1) * co].set(w[0, 0])
-    return k
-
-
-def _to_s2d(x: jax.Array) -> jax.Array:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C) with channel layout (py, px, c)."""
-    b, h, w, c = x.shape
-    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-
-
-def _from_s2d(x: jax.Array) -> jax.Array:
-    """(B, h, w, 4C) -> (B, 2h, 2w, C)."""
-    b, h, w, c4 = x.shape
-    c = c4 // 4
-    x = x.reshape(b, h, w, 2, 2, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
-
-
 def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool = False,
                      fmt: str = "NHWC", entry: bool = False):
     """Styled conv: modulation -> conv (or lhs-dilated 'transposed' conv) ->
@@ -287,9 +246,9 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
         elif upsample:
             k, dil, pad = _s2d_up_conv_kernel(w), (2, 2), 2
         elif kh == 1:
-            k, dil, pad = _s2d_rgb_kernel(w), (1, 1), 0
+            k, dil, pad = s2d_ops.diag_1x1_kernel(w), (1, 1), 0
         else:
-            k, dil, pad = _s2d_same_conv_kernel(w), (1, 1), 1
+            k, dil, pad = s2d_ops.same_conv_kernel(w), (1, 1), 1
         x = lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
             lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -349,7 +308,7 @@ def styled_conv(p: dict, x, style, noise=None, upsample: bool = False, fmt: str 
             x = x + p["noise_weight"] * noise
         elif fmt == "S2D":
             b, h, w, c4 = x.shape
-            n_s2d = _to_s2d(noise)  # (1, h, w, 4)
+            n_s2d = s2d_ops.to_s2d(noise)  # (1, h, w, 4)
             x = (x.reshape(b, h, w, 4, c4 // 4)
                  + p["noise_weight"] * n_s2d[..., None]).reshape(b, h, w, c4)
         else:
@@ -502,6 +461,8 @@ class StyleGAN2Generator:
         noise_key=None,
     ) -> jax.Array:
         """Run the synthesis network on per-layer W latents (B, n_latent, 512)."""
+        if self.tail_layout not in ("s2d", "nchw", "nhwc"):
+            raise ValueError(f"unknown tail_layout {self.tail_layout!r}")
         b = latent.shape[0]
         if noise is None:
             if randomize_noise:
@@ -570,7 +531,7 @@ class StyleGAN2Generator:
         if fmt == "NCHW":
             skip = jnp.transpose(skip, (0, 2, 3, 1))
         elif fmt == "S2D":
-            skip = _from_s2d(skip)
+            skip = s2d_ops.from_s2d(skip)
         return skip
 
     def forward(
