@@ -44,6 +44,15 @@ import jax.numpy as jnp
 from warpedganspace_tpu.nn import core as nn
 
 
+# Dataset registries (reference models/BigGAN/utils.py:7-32).
+IMSIZE_DICT = {"I32": 32, "I32_hdf5": 32, "I64": 64, "I64_hdf5": 64,
+               "I128": 128, "I128_hdf5": 128, "I256": 256, "I256_hdf5": 256,
+               "C10": 32, "C100": 32}
+NCLASS_DICT = {"I32": 1000, "I32_hdf5": 1000, "I64": 1000, "I64_hdf5": 1000,
+               "I128": 1000, "I128_hdf5": 1000, "I256": 1000, "I256_hdf5": 1000,
+               "C10": 10, "C100": 100}
+
+
 def biggan_arch(ch: int = 96, resolution: int = 128) -> dict:
     """Generator architecture table (reference BigGAN.py:13-52)."""
     tables = {
@@ -112,6 +121,30 @@ class BigGANGenerator:
     n_classes: int = 1000
     bottom_width: int = 4
     target_classes: tuple[int, ...] = (239,)
+
+    @classmethod
+    def from_config(cls, config: dict | None = None, target_classes=(239,)) -> "BigGANGenerator":
+        """Build from a BigGAN generator_config.json dict (reference
+        models/gan_load.py:84-98 reads the shipped config; a copy ships in
+        configs/biggan_generator_config.json). imsize/nclass per dataset follow
+        reference models/BigGAN/utils.py."""
+        import json
+        import os.path as osp
+
+        if config is None:
+            path = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                            "configs", "biggan_generator_config.json")
+            with open(path) as f:
+                config = json.load(f)
+        imsize = IMSIZE_DICT[config["dataset"]]
+        return cls(
+            resolution=imsize,
+            ch=config["G_ch"],
+            dim_z=config["dim_z"],
+            shared_dim=config["shared_dim"],
+            n_classes=NCLASS_DICT[config["dataset"]],
+            target_classes=tuple(int(c) for c in target_classes),
+        )
 
     @property
     def arch(self) -> dict:

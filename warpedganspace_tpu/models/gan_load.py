@@ -126,7 +126,7 @@ def build_biggan(
     from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict
     from warpedganspace_tpu.models.biggan import BigGANGenerator
 
-    gen = BigGANGenerator(target_classes=tuple(int(c) for c in target_classes))
+    gen = BigGANGenerator.from_config(target_classes=target_classes)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     params = gen.init(jax.random.key(0)) if sd is None else biggan_params_from_state_dict(sd)
     return GeneratorBundle(

@@ -98,6 +98,21 @@ def sec2dhms(t: float) -> str:
     )
 
 
+def get_wh(img_paths):
+    """Common (width, height) of a list of same-resolution images
+    (reference lib/aux.py:154-175)."""
+    from PIL import Image
+
+    widths, heights = [], []
+    for f in img_paths:
+        with Image.open(f) as im:
+            widths.append(im.width)
+            heights.append(im.height)
+    if len(set(widths)) == len(set(heights)) == 1:
+        return widths[0], heights[0]
+    raise ValueError("Inconsistent image resolutions in {}".format(img_paths))
+
+
 def create_summarizing_gif(
     imgs_root: str,
     gif_filename: str,
