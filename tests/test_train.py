@@ -167,3 +167,20 @@ def test_trainer_resume_completed_exits(tmp_path):
     # Re-running a completed experiment exits early (reference trainer.py:169-177).
     with pytest.raises(SystemExit):
         Trainer(params=p, exp_dir="exp2", root=root).train(G, S, R)
+
+
+def test_bf16_generator_training():
+    """bf16-G training runs, stays finite, and tracks the f32 loss closely."""
+    G, S, R, cfg = _tiny_setup()
+    cfg16 = TrainStepConfig(**{**cfg.__dict__, "generator_dtype": "bfloat16"})
+    key = jax.random.key(9)
+    s32 = init_train_state(key, G, S, R, cfg)
+    s16 = jax.tree_util.tree_map(lambda x: x.copy(), s32)
+    step32 = make_train_step(G, S, R, cfg, donate=False)
+    step16 = make_train_step(G, S, R, cfg16, donate=False)
+    _, m32 = step32(s32, G.params, key, 1)
+    _, m16 = step16(s16, G.params, key, 1)
+    assert np.isfinite(float(m16["total_loss"]))
+    np.testing.assert_allclose(
+        float(m16["total_loss"]), float(m32["total_loss"]), rtol=0.05
+    )

@@ -81,6 +81,10 @@ def build_parser():
                              "(reduces HBM pressure for 1024^2 training)")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the training loop")
+    parser.add_argument("--g-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="generator compute dtype during training (the warp, "
+                             "reconstructor and loss always run float32)")
     parser.set_defaults(cuda=True)
     return parser
 

@@ -47,6 +47,10 @@ class TrainStepConfig:
     reconstructor_lr: float = 1e-4
     z_truncation: float | None = None
     shift_in_w_space: bool = False
+    # Generator compute dtype during training. The generator is frozen, so
+    # bfloat16 only affects the gradient PATH through it (the warp, the
+    # reconstructor and the loss stay float32); halves G time and memory.
+    generator_dtype: str = "float32"
 
 
 def _bn_stat_mask(params):
@@ -109,12 +113,19 @@ def make_train_step(
     """Build the jitted train step: (state, g_params, seed_key, iteration) -> (state, metrics)."""
     opt_s, opt_r = make_optimizers(S, cfg)
 
+    g_bf16 = cfg.generator_dtype == "bfloat16"
+    g_dtype = jnp.bfloat16 if g_bf16 else jnp.float32
+
     def loss_fn(s_params, r_params, g_params, z, idx, mags):
-        img = G.apply(g_params, z)
-        latent = G.get_w(g_params, z) if cfg.shift_in_w_space else z
+        z_g = z.astype(g_dtype)
+        img = G.apply(g_params, z_g).astype(jnp.float32)
+        latent = (
+            G.get_w(g_params, z_g).astype(jnp.float32)
+            if cfg.shift_in_w_space else z
+        )
         direction = S.direction(s_params, latent, idx)
         shift = mags[:, None] * direction
-        img_shifted = G.apply(g_params, z, shift)
+        img_shifted = G.apply(g_params, z_g, shift.astype(g_dtype)).astype(jnp.float32)
         logits, mag_hat, new_r_params = R.apply(r_params, img, img_shifted, train=True)
         cls_loss = jnp.mean(
             optax.softmax_cross_entropy_with_integer_labels(logits, idx)
@@ -125,6 +136,11 @@ def make_train_step(
         return total, (cls_loss, reg_loss, acc, new_r_params)
 
     def step(state, g_params, seed_key, iteration):
+        if g_bf16:
+            g_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                g_params,
+            )
         key = jax.random.fold_in(seed_key, iteration)
         z, idx, mags = sample_batch_directives(
             key,
