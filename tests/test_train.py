@@ -184,3 +184,30 @@ def test_bf16_generator_training():
     np.testing.assert_allclose(
         float(m16["total_loss"]), float(m32["total_loss"]), rtol=0.05
     )
+
+
+def test_trainer_mid_training_resume(tmp_path, capsys):
+    """A checkpoint written mid-run is picked up: training resumes at
+    checkpoint iter (reference trainer.py:74-89) and continues to max_iter,
+    with optimizer state restored from the sidecar."""
+    G, S, R, cfg = _tiny_setup(batch_size=4)
+    p = _trainer_params(tmp_path, max_iter=6)
+    root = str(tmp_path / "experiments")
+
+    # Plant a checkpoint at iteration 3 (as if a previous run died there).
+    trn = Trainer(params=p, exp_dir="exp3", root=root)
+    key = jax.random.key(trn.seed)
+    state = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg, donate=False)
+    for it in range(1, 4):
+        state, _ = step(state, G.params, key, it)
+    trn.save_checkpoint(3, S, state)
+    planted = np.asarray(state["s_params"]["support_sets"])
+
+    # Fresh Trainer resumes from the checkpoint and finishes.
+    trn2 = Trainer(params=p, exp_dir="exp3", root=root)
+    final_state = trn2.train(G, S, R)
+    out = capsys.readouterr().out
+    assert "Start training from iteration 3" in out
+    # Parameters moved on from the planted checkpoint (iterations 3..6 ran).
+    assert float(np.abs(np.asarray(final_state["s_params"]["support_sets"]) - planted).max()) > 0

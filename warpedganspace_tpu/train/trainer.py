@@ -103,7 +103,7 @@ class Trainer:
         self.stat_tracker = TrainingStatTracker()
 
     # ------------------------------------------------------------- checkpoints
-    def save_checkpoint(self, iteration: int, S, R, state):
+    def save_checkpoint(self, iteration: int, S, state):
         save_pt(
             {
                 "iter": iteration,
@@ -262,7 +262,7 @@ class Trainer:
 
             if iteration % p.ckp_freq == 0:
                 jax.block_until_ready(state["s_params"])
-                self.save_checkpoint(iteration, support_sets, reconstructor, state)
+                self.save_checkpoint(iteration, support_sets, state)
 
         if profile:
             jax.profiler.stop_trace()
