@@ -61,7 +61,7 @@ def main(argv=None):
     biggan_classes = None
     if args.gan_type == "BigGAN":
         if args.biggan_target_classes is None:
-            raise parser.error("In case of BigGAN, a list of classes needs to be determined.")
+            parser.error("In case of BigGAN, a list of classes needs to be determined.")
         biggan_classes = ""
         for c in args.biggan_target_classes:
             biggan_classes += "-{}".format(c)

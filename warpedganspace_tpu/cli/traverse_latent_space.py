@@ -90,7 +90,17 @@ def main(argv=None):
     # (reference traverse_latent_space.py:200-208).
     support_sets_model = osp.join(models_dir, "support_sets.pt")
     if not osp.isfile(support_sets_model):
-        ckpts = sorted(f for f in os.listdir(models_dir) if "support_sets-" in f)
+        def _ckpt_iter(f):
+            # Numeric sort (robustness fix over the reference's lexicographic
+            # sort, traverse_latent_space.py:396, which picks 9000 over 10000).
+            try:
+                return int(f.split("support_sets-")[1].split(".pt")[0])
+            except (IndexError, ValueError):
+                return -1
+
+        ckpts = sorted(
+            (f for f in os.listdir(models_dir) if "support_sets-" in f), key=_ckpt_iter
+        )
         if not ckpts:
             raise FileNotFoundError("No support sets weights found under {}".format(models_dir))
         support_sets_model = osp.join(models_dir, ckpts[-1])
@@ -189,6 +199,22 @@ def main(argv=None):
     from warpedganspace_tpu.traverse.writer import AsyncImageWriter
 
     writer = AsyncImageWriter()
+    try:
+        _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
+                      latent_codes_dirs, num_of_latent_codes, num_gen_paths, out_dir,
+                      shift_in_w_space, writer)
+    finally:
+        writer.close()
+
+    if args.gif:
+        collate_traversal_gifs(
+            out_dir, num_gen_paths, gif_size=args.gif_size, gif_fps=args.gif_fps,
+            verbose=args.verbose)
+
+
+def _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
+                  latent_codes_dirs, num_of_latent_codes, num_gen_paths, out_dir,
+                  shift_in_w_space, writer):
     for i in range(num_of_latent_codes):
         latent_code_hash = latent_codes_dirs[i]
         if args.verbose:
@@ -236,13 +262,6 @@ def main(argv=None):
             update_stdout(1)
             print()
             print()
-
-    writer.close()
-
-    if args.gif:
-        collate_traversal_gifs(
-            out_dir, num_gen_paths, gif_size=args.gif_size, gif_fps=args.gif_fps,
-            verbose=args.verbose)
 
 
 if __name__ == "__main__":

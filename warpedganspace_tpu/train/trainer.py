@@ -115,13 +115,15 @@ class Trainer:
             self.checkpoint,
         )
         # Optax states (fix-with-note; reference resets Adam moments on resume).
-        leaves, treedef = jax.tree_util.tree_flatten(
+        # Tagged with the iteration and written atomically so a crash between
+        # the two files can never resume with mismatched Adam moments.
+        leaves = jax.tree_util.tree_leaves(
             {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
         )
-        with open(self.opt_sidecar, "wb") as f:
-            pickle.dump(
-                {"leaves": [np.asarray(x) for x in leaves], "treedef_repr": None}, f
-            )
+        tmp = self.opt_sidecar + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"iter": iteration, "leaves": [np.asarray(x) for x in leaves]}, f)
+        os.replace(tmp, self.opt_sidecar)
 
     def get_starting_iteration(self, S, R, state) -> tuple[int, dict]:
         """Resume from checkpoint.pt if present (reference trainer.py:74-89)."""
@@ -137,6 +139,11 @@ class Trainer:
             try:
                 with open(self.opt_sidecar, "rb") as f:
                     blob = pickle.load(f)
+                if blob.get("iter") != int(ckpt["iter"]):
+                    raise ValueError(
+                        f"sidecar is from iteration {blob.get('iter')}, "
+                        f"checkpoint from {int(ckpt['iter'])}"
+                    )
                 ref = {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
                 treedef = jax.tree_util.tree_structure(ref)
                 restored = jax.tree_util.tree_unflatten(treedef, blob["leaves"])
@@ -229,6 +236,15 @@ class Trainer:
 
         step = make_train_step(generator, support_sets, reconstructor, cfg, mesh=self.mesh)
         g_params = generator.params
+        if cfg.generator_dtype == "bfloat16":
+            # Cast the frozen params ONCE here; the in-step cast then traces to
+            # identity ops (XLA elides same-dtype astype).
+            import jax.numpy as jnp
+
+            g_params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                g_params,
+            )
 
         if profile:
             jax.profiler.start_trace(osp.join(self.wip_dir, "profile"))
@@ -246,12 +262,15 @@ class Trainer:
             if iteration % p.log_freq == 0:
                 # Force completion of the window, then account wall time.
                 jax.block_until_ready(metrics)
-                for m in pending:
+                for j, m in enumerate(pending):
                     host = {k: float(v) for k, v in m.items()}
                     self.stat_tracker.update(**host)
                     if self.tb_writer is not None:
+                        # Each buffered iteration at its own global step
+                        # (reference trainer.py:264-266).
+                        step_no = iteration - len(pending) + 1 + j
                         for k, v in host.items():
-                            self.tb_writer.add_scalar(k, v, iteration)
+                            self.tb_writer.add_scalar(k, v, step_no)
                 pending = []
                 now = time.time()
                 mean_iter_time = (now - window_t0) / max(window_iters, 1)
