@@ -145,16 +145,12 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             nps[key][d] = final
             dicts[key][d] = final.tolist()
 
-        # --- identity vs center frame, walking outward (:395-415) -----------
+        # --- identity vs center frame (:395-415). The reference walks outward
+        # one pair per forward; the resulting list is exactly [cos(center,
+        # frame_t)] in frame order, so one batched call computes all T pairs.
         scaled = jnp.asarray(frames256 / 255.0 * 2.0 - 1.0)
-        center = scaled[num_per_path // 2][None]
-        id_scores = [float(predictors["id"](center, center))]
-        for t in range((num_per_path - 1) // 2):
-            sim = float(predictors["id"](center, scaled[num_per_path // 2 + t + 1][None]))
-            id_scores.append(sim)
-        for t in range((num_per_path - 1) // 2):
-            sim = float(predictors["id"](center, scaled[num_per_path // 2 - t - 1][None]))
-            id_scores = [sim] + id_scores
+        center = jnp.broadcast_to(scaled[num_per_path // 2][None], scaled.shape)
+        id_scores = [float(v) for v in predictors["id"].similarities(center, scaled)]
         dicts["id"][d] = id_scores
         nps["identity"][d] = id_scores
 

@@ -140,12 +140,22 @@ class IDComparator:
         return se_ir50_apply(params, x)
 
     def _forward(self, params, x, x_prime):
-        e1 = self._extract(params, x)
-        e2 = self._extract(params, x_prime)
-        sim = jnp.sum(e1 * e2, axis=1) / (
+        return jnp.mean(self._sims(params, x, x_prime))
+
+    @staticmethod
+    def _sims(params, x, x_prime):
+        e1 = IDComparator._extract(params, x)
+        e2 = IDComparator._extract(params, x_prime)
+        return jnp.sum(e1 * e2, axis=1) / (
             jnp.linalg.norm(e1, axis=1) * jnp.linalg.norm(e2, axis=1) + 1e-6
         )
-        return jnp.mean(sim)
 
     def __call__(self, x, x_prime):
         return self._apply(self.params, x, x_prime)
+
+    def similarities(self, x, x_prime):
+        """Per-pair cosine similarities (batched variant of the reference's
+        one-pair-at-a-time loop, traverse_attribute_space.py:395-415)."""
+        if not hasattr(self, "_apply_sims"):
+            self._apply_sims = jax.jit(self._sims)
+        return self._apply_sims(self.params, x, x_prime)
