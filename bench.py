@@ -24,6 +24,11 @@ import os
 import os.path as osp
 import sys
 import time
+import warnings
+
+# A FutureWarning from jax means a future release breaks this path (e.g. the
+# f32-into-bf16 scatter promotion caught in round 1) — fail the bench instead.
+warnings.filterwarnings("error", category=FutureWarning, module=r"jax\..*")
 
 BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
 

@@ -189,6 +189,7 @@ def _s2d_entry_blur_kernel(c: int, dtype) -> jax.Array:
     """Blur-upsample of an NHWC (.., c) map into its S2D rep on the same grid:
     (3,3,c,4c) kernel, padding 1."""
     fb, offs = _blur_taps()
+    fb = fb.astype(dtype)  # else f32 taps scatter into a bf16 kernel (promotion error)
     k = jnp.zeros((3, 3, c, 4 * c), dtype=dtype)
     eye = jnp.eye(c, dtype=dtype)
     for fy in range(2):
@@ -206,6 +207,7 @@ def _s2d_up_blur_kernel(c: int, dtype) -> jax.Array:
     """Blur-upsample of an S2D map (grid g) to the next S2D level (grid 2g):
     (4,4,4c,4c) kernel, lhs_dilation 2, padding 2."""
     fb, offs = _blur_taps()
+    fb = fb.astype(dtype)
     k = jnp.zeros((4, 4, 4 * c, 4 * c), dtype=dtype)
     eye = jnp.eye(c, dtype=dtype)
     for fy in range(2):
