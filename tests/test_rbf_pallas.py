@@ -1,62 +1,89 @@
-"""Pallas RBF kernel vs the jnp reference (interpreter mode on CPU)."""
+"""Fused all-sets Pallas warp kernel vs the jnp reference formulation.
+
+Runs in the Pallas interpreter on the CPU mesh; the same code path compiles
+natively on TPU (where it is the traversal default — see traverse/engine.py).
+"""
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
 from warpedganspace_tpu.models.support_sets import SupportSets
 from warpedganspace_tpu.ops import rbf
-from warpedganspace_tpu.ops.rbf_pallas import warp_grad_pallas
+from warpedganspace_tpu.ops.rbf_pallas import (
+    prepare_warp_sets,
+    warp_grad_all_sets_fused,
+    warp_grad_all_sets_kn,
+)
 
 
-@pytest.mark.parametrize("k,n,d,b", [(5, 4, 64, 7), (3, 3, 120, 4), (8, 2, 128, 16)])
-def test_pallas_matches_reference(k, n, d, b):
-    """Covers aligned (128) and unaligned (64, 120) latent dims and odd 2N."""
-    cfg = SupportSets(num_support_sets=k, num_support_dipoles=n, support_vectors_dim=d)
-    params = cfg.init(jax.random.key(0))
-    gammas = cfg.gammas(params)
-    z = jax.random.normal(jax.random.key(1), (b, d))
-    idx = jax.random.randint(jax.random.key(2), (b,), 0, k)
-
-    want = rbf.warp_grad(params["support_sets"], params["alphas"], gammas, z, idx)
-    got = warp_grad_pallas(
-        params["support_sets"], params["alphas"], gammas, z, idx, interpret=True
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
+def _random_problem(key, k, two_n, d, n):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    sv = jax.random.normal(k1, (k, two_n, d))
+    a = jax.random.normal(k2, (k, two_n))
+    g = jnp.abs(jax.random.normal(k3, (k, two_n))) * 0.3
+    z = jax.random.normal(k4, (n, k, d))
+    return sv, a, g, z
 
 
-def test_all_sets_formulation_matches_gather():
-    """The traversal formulation (no gather) == per-row gather formulation."""
-    cfg = SupportSets(num_support_sets=4, num_support_dipoles=3, support_vectors_dim=16)
-    params = cfg.init(jax.random.key(3))
-    gammas = cfg.gammas(params)
-    n_codes = 5
-    z = jax.random.normal(jax.random.key(4), (n_codes, 4, 16))
+@pytest.mark.parametrize(
+    "k,two_n,d,n",
+    [
+        (5, 6, 7, 3),      # unaligned everywhere -> exercises all padding
+        (8, 256, 128, 16),  # production-aligned (SNGAN-like)
+        (4, 130, 120, 9),   # BigGAN-like d=120, odd 2N
+    ],
+)
+def test_matches_jnp_all_sets(k, two_n, d, n):
+    sv, a, g, z = _random_problem(jax.random.key(0), k, two_n, d, n)
+    ref = rbf.warp_grad_all_sets(sv, a, g, z)
+    got = warp_grad_all_sets_fused(sv, a, g, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
+    # Unit-norm rows.
+    norms = jnp.linalg.norm(got, axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-5)
 
-    all_out = rbf.warp_grad_all_sets(params["support_sets"], params["alphas"], gammas, z)
 
-    z_flat = z.reshape(-1, 16)
-    idx = jnp.tile(jnp.arange(4, dtype=jnp.int32), n_codes)
-    gathered = rbf.warp_grad(params["support_sets"], params["alphas"], gammas, z_flat, idx)
+def test_kn_layout_equals_drop_in():
+    sv, a, g, z = _random_problem(jax.random.key(1), 6, 16, 40, 5)
+    ws = prepare_warp_sets(sv, a, g)
+    kn = warp_grad_all_sets_kn(ws, jnp.transpose(z, (1, 0, 2)))
+    flat = warp_grad_all_sets_fused(sv, a, g, z)
     np.testing.assert_allclose(
-        np.asarray(all_out.reshape(-1, 16)), np.asarray(gathered), rtol=1e-4, atol=1e-6
+        np.asarray(jnp.transpose(kn, (1, 0, 2))), np.asarray(flat), rtol=1e-6
     )
 
 
-def test_pallas_value_and_grad_fused():
-    """The fused kernel's f(z) output matches the jnp reference."""
-    from warpedganspace_tpu.ops.rbf_pallas import warp_value_and_grad_pallas
+def test_row_blocking_many_rows():
+    # More rows than one _ROW_BLOCK -> exercises the minor grid dimension.
+    sv, a, g, z = _random_problem(jax.random.key(2), 3, 8, 16, 300)
+    ref = rbf.warp_grad_all_sets(sv, a, g, z)
+    got = warp_grad_all_sets_fused(sv, a, g, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
-    cfg = SupportSets(num_support_sets=4, num_support_dipoles=3, support_vectors_dim=64)
-    params = cfg.init(jax.random.key(5))
-    gammas = cfg.gammas(params)
-    z = jax.random.normal(jax.random.key(6), (6, 64))
-    idx = jax.random.randint(jax.random.key(7), (6,), 0, 4)
 
-    f_ref, g_ref = rbf.warp_value_and_grad(
-        params["support_sets"], params["alphas"], gammas, z, idx)
-    f, g = warp_value_and_grad_pallas(
-        params["support_sets"], params["alphas"], gammas, z, idx, interpret=True)
-    np.testing.assert_allclose(np.asarray(f), np.asarray(f_ref), rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+def test_custom_vjp_matches_jnp_grad():
+    sv, a, g, z = _random_problem(jax.random.key(3), 4, 10, 24, 6)
+
+    def loss_pallas(sv, z):
+        return jnp.sum(jnp.cos(warp_grad_all_sets_fused(sv, a, g, z)))
+
+    def loss_jnp(sv, z):
+        return jnp.sum(jnp.cos(rbf.warp_grad_all_sets(sv, a, g, z)))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(sv, z)
+    gj = jax.grad(loss_jnp, argnums=(0, 1))(sv, z)
+    for p, j in zip(gp, gj):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(j), rtol=1e-4, atol=1e-5)
+
+
+def test_support_sets_method():
+    S = SupportSets(num_support_sets=6, num_support_dipoles=4,
+                    support_vectors_dim=20, learn_gammas=True)
+    params = S.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(5), (3, 6, 20))
+    np.testing.assert_allclose(
+        np.asarray(S.direction_all_sets_fused(params, z)),
+        np.asarray(S.direction_all_sets(params, z)),
+        rtol=2e-5, atol=2e-6,
+    )

@@ -78,6 +78,36 @@ def test_center_is_unshifted():
         np.testing.assert_allclose(np.asarray(shifts[:, k, center]), 0.0)
 
 
+def test_traverse_pallas_backend_matches_jnp():
+    """The fused Pallas warp backend (interpreted on CPU) integrates the same
+    paths as the jnp all-sets formulation."""
+    S = SupportSets(num_support_sets=3, num_support_dipoles=4, support_vectors_dim=16,
+                    learn_gammas=True)
+    params = S.init(jax.random.key(8))
+    z = jax.random.normal(jax.random.key(9), (2, 16))
+
+    cj, sj = traverse_paths(S, params, z, eps=0.2, shift_steps=5, use_pallas=False)
+    cp, sp = traverse_paths(S, params, z, eps=0.2, shift_steps=5, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cj), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sj), rtol=1e-4, atol=1e-5)
+
+
+def test_traverse_pallas_multi_device_matches_single():
+    """shard_map'd Pallas warp over the 8-device mesh == unsharded Pallas."""
+    from warpedganspace_tpu.parallel import make_mesh
+
+    S = SupportSets(num_support_sets=8, num_support_dipoles=3, support_vectors_dim=16)
+    params = S.init(jax.random.key(10))
+    z = jax.random.normal(jax.random.key(11), (3, 16))
+
+    c1, s1 = traverse_paths(S, params, z, eps=0.2, shift_steps=4, use_pallas=True)
+    mesh = make_mesh()
+    c2, s2 = traverse_paths(S, params, z, eps=0.2, shift_steps=4, mesh=mesh,
+                            use_pallas=True)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)
+
+
 def test_traverse_multi_device_matches_single():
     """Mesh-sharded traversal (paths over 8 devices) == unsharded."""
     from warpedganspace_tpu.parallel import make_mesh

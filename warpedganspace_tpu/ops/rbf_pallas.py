@@ -1,22 +1,33 @@
-"""Pallas TPU kernel: fused RBF warp gradient with on-the-fly support-set gather.
+"""Pallas TPU kernel: all-sets RBF warp directions in ONE HBM pass over the sets.
 
-The north-star native op (BASELINE.json): evaluates the L2-normalized
-grad f_k(z) for a batch of (z, set-index) rows in ONE VMEM pass per row —
-distance computation, exp, weighted reduction and normalization fused, with the
-selected support set DMA'd from HBM directly into VMEM via scalar-prefetch
-block indexing (no (B, 2N, d) gather ever materializes in HBM, unlike a
-jnp.take-based formulation whose gathered tensor costs B*2N*d*4 bytes).
+The north-star op (BASELINE.json "grad-f warp evals/sec"): the traversal hot
+loop advances every latent code along every path, direction_k(z) =
+L2-normalize(grad f_k(z)), for all K sets at once (reference forward:
+lib/support_sets.py:83-101; traversal loop: traverse_latent_space.py:333-463).
 
-Replaces the role of the reference's one-hot matmul selection + elementwise
-chain (lib/support_sets.py:83-101). A jnp reference path lives in
-:mod:`warpedganspace_tpu.ops.rbf` for correctness diffing and autodiff.
+The jnp formulation (ops/rbf.py warp_grad_all_sets) lowers to two separate
+K-batched matmuls — XLA reads the (K, 2N, d) support-set tensor from HBM twice
+(cross-distance pass + gradient-accumulation pass). At production scale
+(K=200, 2N=1024, d=512 -> 420 MB f32) the op is HBM-bandwidth-bound, so this
+kernel fuses the whole chain — distances, exp, RBF weighting, gradient
+accumulation, normalization — into one grid step per (set, row-block): SV_k is
+DMA'd into VMEM once and feeds BOTH MXU passes from on-chip memory, halving
+HBM traffic. Row-blocks iterate in the minor grid dimension, so Mosaic keeps
+the SV_k block resident across them (index_map is row-block-invariant).
 
-Shape constraints: the lane dimension wants multiples of 128 and the sublane
-multiples of 8 — the public wrapper pads d -> 128k (zero-padding preserves
-distances) and 2N -> 8k (padded RBFs get alpha=0 => zero weight).
+Layout: the kernel is native to z in (K, N, d) — set-major — so each grid
+step's z block is a contiguous (1, NB, d) slab. The traversal engine runs its
+scan in this layout; ``warp_grad_all_sets_fused`` is the (N, K, d) drop-in.
+
+Alignment: lane dims (d and the 2N axis of alphas/gammas) must be multiples of
+128 and sublane dims (2N of sv, NB of z) multiples of 8. ``prepare_warp_sets``
+zero-pads once — OUTSIDE any scan, so the (K, 2N, d) pad is never re-executed
+per traversal step. Padded support vectors get alpha*gamma = 0 => zero weight;
+padded z rows normalize garbage that is sliced off.
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -24,101 +35,161 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from warpedganspace_tpu.ops import rbf
+
+_ROW_BLOCK = 256  # z rows per grid step; bounds VMEM temps to (256, 2N)
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _warp_kernel(idx_ref, sv_ref, a_ref, g_ref, z_ref, out_ref, f_ref):
-    """One grid step = one batch row; sv/a/g blocks were DMA'd for set idx[i].
-    Emits both the normalized gradient and the warp value f(z) in one pass
-    (the shared distance/exp work is computed once).
-
-    Shapes carry singleton dims so every BlockSpec satisfies the TPU tiling
-    rule (block dims divisible by (8, 128) or equal to the array dims):
-    sv (1, 2N, d), a/g (1, 2N, 1), z/out (1, 1, d), f (1, 1, 1)."""
-    # Everything stays >= 2-D: Mosaic's vector layouts mis-lower 1-D
-    # reductions/stores.
-    z = z_ref[0]                          # (1, d)
-    sv = sv_ref[0]                        # (2N, d)
-    a = a_ref[0]                          # (2N, 1)
-    g = g_ref[0]                          # (2N, 1)
-
-    diff = z - sv                         # (2N, d) — lives in VMEM only
-    d2 = jnp.sum(diff * diff, axis=1, keepdims=True)  # (2N, 1)
-    e = jnp.exp(-g * d2)                  # (2N, 1)
-    w = a * g * e                         # (2N, 1)
-    grad = jnp.dot(
-        (-2.0 * w).T, diff, preferred_element_type=jnp.float32
-    )                                     # (1, d) on the MXU
-    n2 = jnp.sum(grad * grad, axis=1, keepdims=True)  # (1, 1)
-    out_ref[0] = grad * jax.lax.rsqrt(n2 + 1e-30)
-    # f(z) = sum_j alpha_j exp(-gamma_j d2_j).
-    f_ref[0] = jnp.sum(a * e, axis=0, keepdims=True)  # (1, 1)
+def _interpret() -> bool:
+    return jax.devices()[0].platform != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def warp_value_and_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = False):
-    """Fused f(z) AND normalized grad f_idx(z) in one VMEM pass.
+@dataclasses.dataclass(frozen=True)
+class WarpSets:
+    """Support-set parameters pre-padded/pre-packed for the fused kernel.
 
-    Args:
-        support_sets: (K, 2N, d) float32.
-        alphas, gammas: (K, 2N) float32.
-        z: (B, d) float32. idx: (B,) int32.
-        interpret: run in the Pallas interpreter (for CPU tests).
-
-    Returns (f (B,), grad (B, d)); numerically matches
-    :func:`warpedganspace_tpu.ops.rbf.warp_value_and_grad`.
+    Build once per traversal (``prepare_warp_sets``) so the padding copies sit
+    outside the scan. ``d`` is the true latent dim (pre-padding).
     """
+
+    sv: jax.Array       # (K, 2N_pad, d_pad)
+    g_row: jax.Array    # (K, 1, 2N_pad)  gamma_j      (singleton sublane: the
+    ag_row: jax.Array   # (K, 1, 2N_pad)  alpha*gamma   TPU block tiling rule)
+    d: int
+
+    def tree_flatten(self):
+        return (self.sv, self.g_row, self.ag_row), self.d
+
+    @classmethod
+    def tree_unflatten(cls, d, leaves):
+        return cls(*leaves, d=d)
+
+
+jax.tree_util.register_pytree_node(
+    WarpSets, WarpSets.tree_flatten, WarpSets.tree_unflatten
+)
+
+
+def prepare_warp_sets(support_sets, alphas, gammas) -> WarpSets:
+    """Pad/pack (K, 2N, d) params for the kernel. Call OUTSIDE the scan."""
     k, n2, d = support_sets.shape
-    b = z.shape[0]
     d_pad = _round_up(d, 128)
-    n_pad = _round_up(n2, 8)
+    n_pad = _round_up(n2, 128)  # lane dim of g/ag AND sublane of sv -> lcm 128
+    sv = jnp.pad(support_sets, ((0, 0), (0, n_pad - n2), (0, d_pad - d)))
+    ag = jnp.pad(alphas * gammas, ((0, 0), (0, n_pad - n2)))  # 0 => no-op RBF
+    g = jnp.pad(gammas, ((0, 0), (0, n_pad - n2)))
+    return WarpSets(sv=sv, g_row=g[:, None, :], ag_row=ag[:, None, :], d=d)
 
-    if d_pad != d:
-        support_sets = jnp.pad(support_sets, ((0, 0), (0, 0), (0, d_pad - d)))
-        z = jnp.pad(z, ((0, 0), (0, d_pad - d)))
-    if n_pad != n2:
-        support_sets = jnp.pad(support_sets, ((0, 0), (0, n_pad - n2), (0, 0)))
-        alphas = jnp.pad(alphas, ((0, 0), (0, n_pad - n2)))  # alpha=0 => no-op RBF
-        gammas = jnp.pad(gammas, ((0, 0), (0, n_pad - n2)))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, n_pad, d_pad), lambda i, idx_ref: (idx_ref[i], 0, 0)),
-            pl.BlockSpec((1, n_pad, 1), lambda i, idx_ref: (idx_ref[i], 0, 0)),
-            pl.BlockSpec((1, n_pad, 1), lambda i, idx_ref: (idx_ref[i], 0, 0)),
-            pl.BlockSpec((1, 1, d_pad), lambda i, idx_ref: (i, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, d_pad), lambda i, idx_ref: (i, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda i, idx_ref: (i, 0, 0)),
-        ),
-    )
-    out, f = pl.pallas_call(
+def _warp_kernel(sv_ref, g_ref, ag_ref, z_ref, out_ref):
+    """One grid step: directions of set k at one row-block of z.
+
+    Blocks: sv (1, 2N, d), g/ag (1, 2N), z/out (1, NB, d). Both matmuls hit
+    the MXU; everything between them stays in VMEM/registers.
+    """
+    sv = sv_ref[0]                       # (2N, d)
+    g = g_ref[0]                         # (1, 2N)
+    ag = ag_ref[0]                       # (1, 2N)
+    z = z_ref[0]                         # (NB, d)
+
+    # ||sv||^2 as a (1, 2N) row via ones @ (sv*sv)^T — a (1,d)x(d,2N) matvec on
+    # the MXU; avoids a (2N,1)->(1,2N) sublane->lane relayout.
+    ones = jnp.ones((1, sv.shape[1]), dtype=jnp.float32)
+    svsq = jax.lax.dot_general(
+        ones, sv * sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                    # (1, 2N)
+    zsq = jnp.sum(z * z, axis=1, keepdims=True)            # (NB, 1)
+    cross = jax.lax.dot_general(
+        z, sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                    # (NB, 2N) — MXU pass 1
+    d2 = zsq - 2.0 * cross + svsq
+    w = ag * jnp.exp(-g * d2)            # (NB, 2N) — VPU
+    wsum = jnp.sum(w, axis=1, keepdims=True)               # (NB, 1)
+    grad = -2.0 * wsum * z + 2.0 * jnp.dot(
+        w, sv, preferred_element_type=jnp.float32
+    )                                    # (NB, d) — MXU pass 2, same sv block
+    n2 = jnp.sum(grad * grad, axis=1, keepdims=True)
+    out_ref[0] = grad * jax.lax.rsqrt(n2)
+
+
+def _fused_impl(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
+    """Raw kernel launch. z_kn (K, N, d_true) -> (K, N, d_true) directions."""
+    k, n, d = z_kn.shape
+    d_pad = ws.sv.shape[2]
+    n2 = ws.sv.shape[1]
+    nb = min(_ROW_BLOCK, _round_up(n, 8))
+    n_pad = _round_up(n, nb)
+    z = jnp.pad(z_kn, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+
+    grid = (k, n_pad // nb)  # row-blocks minor => sv block resident per k
+    out = pl.pallas_call(
         _warp_kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, 1, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, 1), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n2, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        interpret=interpret,
-    )(
-        idx.astype(jnp.int32),
-        support_sets,
-        alphas[:, :, None],
-        gammas[:, :, None],
-        z[:, None, :],
-    )
-    return f[:, 0, 0], out[:, 0, :d]
+        out_shape=jax.ShapeDtypeStruct((k, n_pad, d_pad), jnp.float32),
+        interpret=_interpret(),
+    )(ws.sv, ws.g_row, ws.ag_row, z)
+    return out[:, :n, :d]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def warp_grad_pallas(support_sets, alphas, gammas, z, idx, interpret: bool = False):
-    """Fused, normalized grad f_idx(z) (see :func:`warp_value_and_grad_pallas`)."""
-    _, grad = warp_value_and_grad_pallas(
-        support_sets, alphas, gammas, z, idx, interpret=interpret
-    )
-    return grad
+def _jnp_kn(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
+    """jnp twin of the kernel on the packed layout (backward-pass reference)."""
+    sv, g, ag = ws.sv, ws.g_row, ws.ag_row                        # g/ag (K, 1, 2N)
+    z = jnp.pad(z_kn, ((0, 0), (0, 0), (0, sv.shape[2] - z_kn.shape[2])))
+    zsq = jnp.sum(z * z, axis=-1, keepdims=True)                  # (K, N, 1)
+    svsq = jnp.sum(sv * sv, axis=-1)                              # (K, 2N)
+    cross = jnp.einsum("knd,kmd->knm", z, sv)
+    d2 = zsq - 2.0 * cross + svsq[:, None, :]
+    w = ag * jnp.exp(-g * d2)                                     # (K, N, 2N)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)
+    grad = -2.0 * wsum * z + 2.0 * jnp.einsum("knm,kmd->knd", w, sv)
+    grad = grad * jax.lax.rsqrt(jnp.sum(grad * grad, axis=-1, keepdims=True))
+    return grad[..., : z_kn.shape[2]]
+
+
+@jax.custom_vjp
+def warp_grad_all_sets_kn(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
+    """Fused directions, set-major: z (K, N, d) -> (K, N, d).
+
+    Forward runs the Pallas kernel (one HBM pass over the sets); the backward
+    — only exercised if someone differentiates a traversal — falls back to the
+    jnp twin's VJP (training differentiates ops/rbf.warp_grad instead, where
+    XLA's shared-residual autodiff is the measured winner; PERFORMANCE.md).
+    """
+    return _fused_impl(ws, z_kn)
+
+
+def _kn_fwd(ws, z_kn):
+    return _fused_impl(ws, z_kn), (ws, z_kn)
+
+
+def _kn_bwd(res, ct):
+    ws, z_kn = res
+    _, vjp = jax.vjp(_jnp_kn, ws, z_kn)
+    return vjp(ct)
+
+
+warp_grad_all_sets_kn.defvjp(_kn_fwd, _kn_bwd)
+
+
+@functools.partial(jax.jit)
+def warp_grad_all_sets_fused(support_sets, alphas, gammas, z):
+    """Drop-in for :func:`warpedganspace_tpu.ops.rbf.warp_grad_all_sets`:
+    z (N, K, d) -> (N, K, d). Pads + packs per call — inside a scan, use
+    ``prepare_warp_sets`` once + ``warp_grad_all_sets_kn`` per step instead.
+    """
+    ws = prepare_warp_sets(support_sets, alphas, gammas)
+    out = warp_grad_all_sets_kn(ws, jnp.transpose(z, (1, 0, 2)))
+    return jnp.transpose(out, (1, 0, 2))

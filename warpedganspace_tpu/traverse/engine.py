@@ -4,9 +4,17 @@ The reference traverses sequentially: a triple Python loop over latent codes x
 K paths x steps, each step a single-sample support-sets forward
 (traverse_latent_space.py:333-463). The traversal *is* inherently sequential in
 t (z_{t+1} = z_t + eps * dir(z_t)), but everything else is data-parallel — so
-here the step recursion is a ``lax.scan`` and the (codes x paths) product is one
-big batch dimension flowing through the fused RBF warp kernel. One compiled
+here the step recursion is a ``lax.scan`` and the (codes x paths x direction)
+product is one big batch dimension flowing through the RBF warp. One compiled
 program replaces ~codes*K*2*steps Python-level forwards.
+
+Warp backend: on TPU the scan body runs the fused Pallas kernel
+(ops/rbf_pallas.py — one HBM pass over the (K, 2N, d) sets per step, measured
+2.4-2.5x over the jnp two-matmul formulation at the production shapes); the
+support-set tensors are padded/packed ONCE outside the scan. Elsewhere (or
+with ``use_pallas=False``) the jnp all-sets formulation is used. Both scans
+(+eps and -eps) are fused into one — the row axis carries both directions,
+doubling the MXU row utilization of each kernel step.
 
 Index/order semantics replicate the reference exactly:
 
@@ -27,11 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.ops import rbf
+from warpedganspace_tpu.ops.rbf_pallas import prepare_warp_sets, warp_grad_all_sets_kn
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("S", "shift_steps", "shift_leap", "num_paths", "mesh"),
+    static_argnames=("S", "shift_steps", "shift_leap", "num_paths", "mesh", "use_pallas"),
 )
 def traverse_paths(
     S: SupportSets,
@@ -42,6 +52,7 @@ def traverse_paths(
     shift_leap: int = 1,
     num_paths: int | None = None,
     mesh=None,
+    use_pallas: bool | None = None,
 ):
     """Integrate all K paths for all latent codes in one compiled program.
 
@@ -54,6 +65,7 @@ def traverse_paths(
         shift_steps: steps per direction (total stored = 2*floor(steps/leap)+1).
         shift_leap:  store every leap-th step.
         num_paths:   number of paths (defaults to S.num_support_sets).
+        use_pallas:  warp backend; None = auto (fused Pallas kernel on TPU).
 
     Returns:
         codes:  (N, K, T, d) stored latent codes per path.
@@ -62,41 +74,72 @@ def traverse_paths(
     """
     k = S.num_support_sets if num_paths is None else num_paths
     n, d = latents.shape
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
 
-    # (codes x paths) grid: every code advances along every path, so the warp
-    # uses the gather-free all-sets formulation (K-batched matmuls).
-    z0 = jnp.broadcast_to(latents[:, None, :], (n, k, d))   # (N, K, d)
-    if mesh is not None:
-        # Shard the path axis over the data-parallel mesh (support-set params
-        # replicate; each device integrates its slice of the K paths). The
-        # path axis is used because K (64-200) is always >= the device count,
-        # unlike the pool size N.
-        from jax.sharding import NamedSharding, PartitionSpec
+    # (codes x paths x {+eps, -eps}) grid: rows [0, n) advance by +eps and rows
+    # [n, 2n) by -eps in the SAME scan — one warp launch serves both.
+    z0 = jnp.broadcast_to(latents[:, None, :], (n, k, d))        # (N, K, d)
+    z00 = jnp.concatenate([z0, z0], axis=0)                      # (2N, K, d)
+    signed_eps = jnp.concatenate(
+        [jnp.full((n, 1, 1), eps, jnp.float32), jnp.full((n, 1, 1), -eps, jnp.float32)]
+    )
 
-        z0 = jax.lax.with_sharding_constraint(
-            z0, NamedSharding(mesh, PartitionSpec(None, "data", None))
+    if use_pallas:
+        # Set-major layout (K, rows, d): each kernel grid step reads a
+        # contiguous row slab; pack/pad the sets ONCE, outside the scan.
+        ws = prepare_warp_sets(
+            s_params["support_sets"][:k], s_params["alphas"][:k], S.gammas(s_params)[:k]
         )
+        zt = jnp.transpose(z00, (1, 0, 2))                       # (K, 2N, d)
+        se = jnp.transpose(signed_eps, (1, 0, 2))                # (1, 2N, 1)
+        dir_fn = lambda z: warp_grad_all_sets_kn(ws, z)          # noqa: E731
+        if mesh is not None and k % mesh.size == 0:
+            # pallas_call has no GSPMD partitioning rule — shard_map it over
+            # the path axis instead: each device holds its K/devices slice of
+            # BOTH the sets and the z rows (the kernel pairs z[k] with sv[k]
+            # by grid index, so they must be sliced together); no collectives
+            # in the body.
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def make_scan(signed_eps):
-        def body(z, _):
-            direction = S.direction_all_sets(s_params, z)
-            shift = signed_eps * direction
-            z_next = z + shift
-            return z_next, (z_next, shift)
+            dir_fn = jax.shard_map(
+                lambda ws_, z: warp_grad_all_sets_kn(ws_, z),
+                mesh=mesh,
+                in_specs=(P("data"), P("data", None, None)),
+                out_specs=P("data", None, None),
+                check_vma=False,
+            )
+            dir_fn = functools.partial(dir_fn, ws)
+            zt = jax.lax.with_sharding_constraint(
+                zt, NamedSharding(mesh, P("data", None, None))
+            )
+    else:
+        zt, se = z00, signed_eps
+        dir_fn = lambda z: S.direction_all_sets(s_params, z)     # noqa: E731
+        if mesh is not None:
+            # Shard the path axis over the data-parallel mesh (the path axis
+            # because K (64-200) is always >= the device count, unlike N).
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return body
+            zt = jax.lax.with_sharding_constraint(
+                zt, NamedSharding(mesh, P(None, "data", None))
+            )
 
-    _, (pos_codes, pos_shifts) = jax.lax.scan(
-        make_scan(eps), z0, None, length=shift_steps
-    )
-    _, (neg_codes, neg_shifts) = jax.lax.scan(
-        make_scan(-eps), z0, None, length=shift_steps
-    )
+    def body(z, _):
+        shift = se * dir_fn(z)
+        z_next = z + shift
+        return z_next, (z_next, shift)
+
+    _, (codes_t, shifts_t) = jax.lax.scan(body, zt, None, length=shift_steps)
+
+    if use_pallas:  # back to row-major (T, 2N, K, d)
+        codes_t = jnp.transpose(codes_t, (0, 2, 1, 3))
+        shifts_t = jnp.transpose(shifts_t, (0, 2, 1, 3))
 
     # Keep every leap-th step (reference stores when cnt == shift_leap).
     sel = jnp.arange(shift_leap - 1, shift_steps, shift_leap)
-    pos_codes, pos_shifts = pos_codes[sel], pos_shifts[sel]
-    neg_codes, neg_shifts = neg_codes[sel], neg_shifts[sel]
+    pos_codes, pos_shifts = codes_t[sel, :n], shifts_t[sel, :n]
+    neg_codes, neg_shifts = codes_t[sel, n:], shifts_t[sel, n:]
 
     # Negative direction prepends -> farthest first.
     neg_codes, neg_shifts = neg_codes[::-1], neg_shifts[::-1]
@@ -110,6 +153,54 @@ def traverse_paths(
     codes = codes.transpose(1, 2, 0, 3)    # (N, K, T, d)
     shifts = shifts.transpose(1, 2, 0, 3)
     return codes, shifts
+
+
+def iter_rendered_u8(G, g_params, codes, shifts, batch_size: int,
+                     latent_is_w: bool = False, dtype=None):
+    """Yield (start, uint8 ndarray chunk) over a flat sequence of (code, shift)
+    rows — the traversal CLI's render stream.
+
+    Improvements over per-path ``render_codes`` calls (reference loop
+    traverse_latent_space.py:441-479): rows from DIFFERENT paths share device
+    batches (no underfilled tails per path — one dispatch chain per code
+    instead of K), and the adaptive uint8 conversion (images.tensor2image
+    semantics, per-image min/max) runs ON DEVICE, so host transfers move 1
+    byte/px instead of 4. Chunks pad to a full batch => one compiled shape.
+    """
+    import numpy as np
+
+    kwargs = {"latent_is_w": True} if latent_is_w else {}
+
+    @jax.jit
+    def render_u8(g_params, c, s):
+        img = G.apply(g_params, c, s, **kwargs).astype(jnp.float32)
+        lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+        x = (img - lo) / jnp.maximum(hi - lo, 1e-12)
+        return (255.0 * x).astype(jnp.uint8)
+
+    t = codes.shape[0]
+    if dtype is not None:
+        codes = codes.astype(dtype)
+        shifts = shifts.astype(dtype)
+    prev = None  # one chunk of device->host latency hidden behind the next render
+    for start in range(0, t, batch_size):
+        chunk_codes = codes[start : start + batch_size]
+        chunk_shifts = shifts[start : start + batch_size]
+        pad = batch_size - chunk_codes.shape[0]
+        if pad:
+            chunk_codes = jnp.pad(chunk_codes, ((0, pad), (0, 0)))
+            chunk_shifts = jnp.pad(chunk_shifts, ((0, pad), (0, 0)))
+        out = render_u8(g_params, chunk_codes, chunk_shifts)
+        if prev is not None:
+            p_start, p_out, p_pad = prev
+            img = np.asarray(p_out)
+            yield p_start, (img[:-p_pad] if p_pad else img)
+        prev = (start, out, pad)
+    if prev is not None:
+        p_start, p_out, p_pad = prev
+        img = np.asarray(p_out)
+        yield p_start, (img[:-p_pad] if p_pad else img)
 
 
 def render_codes(G, g_params, codes, shifts, batch_size: int, latent_is_w: bool = False):
