@@ -123,10 +123,17 @@ def _measure_tpu():
     if bf16_psnr > 40.0 and bf16_images_per_sec > images_per_sec:
         images_per_sec = bf16_images_per_sec
 
-    # --- warp-field evals/sec: the traversal access pattern (32 codes x all
-    # K=200 paths per step) through the gather-free all-sets formulation -----
+    # --- warp-field evals/sec at the traversal access pattern (32 codes x all
+    # K=200 paths per step): jnp two-matmul formulation vs the fused Pallas
+    # kernel (one HBM pass over the sets — the production traversal backend,
+    # traverse/engine.py). 200 reps: the axon tunnel needs deep pipelining to
+    # amortize dispatch. ------------------------------------------------------
+    from warpedganspace_tpu.ops.rbf_pallas import (
+        prepare_warp_sets, warp_grad_all_sets_kn)
+
     n_codes = 32
     zb = jax.random.normal(jax.random.key(4), (n_codes, 200, 512))
+    zb_kn = jnp.transpose(zb, (1, 0, 2))
 
     @jax.jit
     def warp(s_params, zb):
@@ -134,30 +141,26 @@ def _measure_tpu():
 
     sync(warp(s_params, zb))
     log("warp warmup done")
+    reps = 200
     t0 = time.perf_counter()
-    reps = 50
     for _ in range(reps):
         o = warp(s_params, zb)
     sync(o)
     warp_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
-    log(f"warp all-sets: {warp_evals_per_sec:.0f} evals/s")
+    log(f"warp jnp all-sets: {warp_evals_per_sec:.0f} evals/s")
 
-    # --- fused Pallas f/grad-f kernel at the random-gather pattern ----------
-    zg = jax.random.normal(jax.random.key(8), (4096, 512))
-    ig = jax.random.randint(jax.random.key(9), (4096,), 0, 200)
-
-    @jax.jit
-    def warp_pallas(s_params, zg, ig):
-        return S.direction_fused(s_params, zg, ig)
-
+    ws = prepare_warp_sets(
+        s_params["support_sets"], s_params["alphas"], S.gammas(s_params))
+    pallas_fn = jax.jit(lambda ws, z: warp_grad_all_sets_kn(ws, z))
     try:
-        sync(warp_pallas(s_params, zg, ig))
+        sync(pallas_fn(ws, zb_kn))
         t0 = time.perf_counter()
         for _ in range(reps):
-            o = warp_pallas(s_params, zg, ig)
+            o = pallas_fn(ws, zb_kn)
         sync(o)
-        pallas_evals_per_sec = 4096 * reps / (time.perf_counter() - t0)
-        log(f"warp pallas-gather: {pallas_evals_per_sec:.0f} evals/s")
+        pallas_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
+        log(f"warp pallas all-sets: {pallas_evals_per_sec:.0f} evals/s "
+            f"({pallas_evals_per_sec / warp_evals_per_sec:.2f}x jnp)")
     except Exception as e:
         log(f"pallas warp failed: {e}")
         pallas_evals_per_sec = 0.0
@@ -194,12 +197,127 @@ def _measure_tpu():
         "stylegan2_1024_traversal_images_per_sec_f32": f32_images_per_sec,
         "stylegan2_1024_traversal_images_per_sec_bf16": bf16_images_per_sec,
         "bf16_psnr_vs_f32_db": bf16_psnr,
-        "warp_grad_evals_per_sec": warp_evals_per_sec,
-        "warp_pallas_gather_evals_per_sec": pallas_evals_per_sec,
+        "warp_grad_evals_per_sec_jnp": warp_evals_per_sec,
+        "warp_grad_evals_per_sec_pallas": pallas_evals_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
+
+
+def _measure_cli_e2e(raw_render_rate):
+    """End-to-end traverse CLI (warp integration + render + JPEGs on disk) at
+    the reference StyleGAN2 shape: 1 code x K=8 paths x T=41 frames, 1024^2.
+
+    Reports three rates so the bottleneck is attributable:
+    - cli_e2e: the full CLI (reference-parity JPEG settings: quality 75,
+      optimize+progressive — which cost ~110 ms/frame/core on the host);
+    - cli_stream: the CLI's device-side pipeline (path-batched render +
+      uint8-on-device conversion + device->host transfer), no JPEG;
+    - jpeg_encode_ms: measured per-frame host encode cost.
+    On this 1-CPU-core host the e2e rate IS the JPEG rate; the stream rate is
+    what the TPU-side pipeline sustains (PERFORMANCE.md).
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def log(msg):
+        print(f"[bench-cli] {msg}", file=sys.stderr, flush=True)
+
+    os.environ.setdefault("WGS_ALLOW_RANDOM_G", "1")
+    tmp = tempfile.mkdtemp(prefix="wgs_bench_cli_")
+    cwd = os.getcwd()
+    os.chdir(tmp)
+    try:
+        from warpedganspace_tpu.cli import sample_gan, traverse_latent_space
+        from warpedganspace_tpu.models.gan_load import build_gan
+        from warpedganspace_tpu.models.support_sets import SupportSets
+        from warpedganspace_tpu.traverse.engine import iter_rendered_u8
+        from warpedganspace_tpu.utils.io import save_pt
+
+        sample_gan.main(["-g", "StyleGAN2", "--num-samples", "1",
+                         "--pool", "bench", "--seed", "3"])
+        K = 8
+        exp = osp.join("experiments", "complete", "bench_exp")
+        os.makedirs(osp.join(exp, "models"), exist_ok=True)
+        S = SupportSets(num_support_sets=K, num_support_dipoles=512,
+                        support_vectors_dim=512, learn_gammas=True)
+        save_pt(S.to_torch_state_dict(S.init(jax.random.key(0))),
+                osp.join(exp, "models", "support_sets.pt"))
+        with open(osp.join(exp, "args.json"), "w") as f:
+            json.dump({"gan_type": "StyleGAN2", "num_support_sets": K,
+                       "num_support_dipoles": 512, "learn_alphas": False,
+                       "learn_gammas": True, "gamma": None,
+                       "shift_in_w_space": True, "stylegan2_resolution": 1024}, f)
+
+        cli_args = ["--exp", exp, "--pool", "bench", "--shift-steps", "20",
+                    "--eps", "0.2", "--dtype", "bfloat16", "--batch-size", "16"]
+        n_frames = 1 * K * 41
+        traverse_latent_space.main(cli_args)     # warm run (compiles)
+        log("warm CLI run done")
+        t0 = _time.perf_counter()
+        traverse_latent_space.main(cli_args)
+        cli_e2e = n_frames / (_time.perf_counter() - t0)
+        log(f"cli e2e (JPEGs on disk): {cli_e2e:.1f} img/s")
+
+        # Device-side stream rate over the same workload (no JPEG).
+        G = build_gan(gan_type="StyleGAN2", stylegan2_resolution=1024,
+                      shift_in_w_space=True)
+        gp = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            G.params)
+        codes = jax.random.normal(jax.random.key(1), (n_frames, 512))
+        shifts = 0.1 * jax.random.normal(jax.random.key(2), (n_frames, 512))
+        for _ in iter_rendered_u8(G, gp, codes, shifts, batch_size=16,
+                                  latent_is_w=True, dtype=jnp.bfloat16):
+            pass                                  # warm
+        t0 = _time.perf_counter()
+        tot = 0
+        for _, imgs in iter_rendered_u8(G, gp, codes, shifts, batch_size=16,
+                                        latent_is_w=True, dtype=jnp.bfloat16):
+            tot += imgs.shape[0]
+        cli_stream = tot / (_time.perf_counter() - t0)
+        log(f"cli stream (render + u8 device->host): {cli_stream:.1f} img/s "
+            f"({100 * cli_stream / max(raw_render_rate, 1e-9):.0f}% of raw render)")
+
+        # Device->host transfer bandwidth, to attribute the stream rate: on
+        # the axon dev harness the tunnel moves ~13-16 MB/s (measured), so a
+        # 3 MB uint8 1024^2 frame caps the stream at ~4-5 img/s REGARDLESS of
+        # render speed; production hosts (local PCIe) move GB/s.
+        xfer = jnp.zeros((16, 1024, 1024, 3), dtype=jnp.uint8) + 1
+        float(jnp.sum(xfer[0, 0, 0]))
+        t0 = _time.perf_counter()
+        h = np.asarray(xfer)
+        d2h_mbs = h.nbytes / 1e6 / (_time.perf_counter() - t0)
+        log(f"device->host transfer: {d2h_mbs:.1f} MB/s "
+            f"(ceiling {d2h_mbs / 3.15:.1f} uint8 img/s)")
+
+        # Host JPEG encode cost (the e2e bound on a 1-core host).
+        from PIL import Image
+
+        frame = Image.fromarray(
+            (np.random.rand(1024, 1024, 3) * 255).astype(np.uint8))
+        t0 = _time.perf_counter()
+        for _ in range(5):
+            frame.save(osp.join(tmp, "enc.jpg"), "JPEG", quality=75,
+                       optimize=True, progressive=True)
+        jpeg_ms = (_time.perf_counter() - t0) / 5 * 1e3
+        log(f"jpeg encode (q75 optimize+progressive): {jpeg_ms:.0f} ms/frame/core")
+        return {
+            "cli_e2e_images_per_sec": cli_e2e,
+            "cli_stream_images_per_sec": cli_stream,
+            "jpeg_encode_ms_per_frame_per_core": jpeg_ms,
+            "device_to_host_mbytes_per_sec": d2h_mbs,
+            "host_cpu_cores": os.cpu_count(),
+        }
+    finally:
+        os.chdir(cwd)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _measure_reference_baseline():
@@ -243,6 +361,11 @@ def _measure_reference_baseline():
 
 def main():
     results = _measure_tpu()
+    try:
+        results.update(_measure_cli_e2e(
+            results["stylegan2_1024_traversal_images_per_sec"]))
+    except Exception as e:  # the CLI e2e sweep is best-effort
+        results["cli_e2e_error"] = str(e)
     try:
         baseline = _measure_reference_baseline()
         ref = baseline["reference_images_per_sec"]

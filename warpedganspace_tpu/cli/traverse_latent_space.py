@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from warpedganspace_tpu.models.gan_load import build_gan
 from warpedganspace_tpu.models.support_sets import SupportSets
-from warpedganspace_tpu.traverse import render_codes, traverse_paths
+from warpedganspace_tpu.traverse import iter_rendered_u8, traverse_paths
 from warpedganspace_tpu.traverse.gifs import collate_traversal_gifs
 from warpedganspace_tpu.utils.aux import update_progress, update_stdout
 from warpedganspace_tpu.utils.io import load_pt, save_pt
@@ -67,6 +67,11 @@ def build_parser():
                         help="generator compute dtype; bfloat16 renders ~measurably faster "
                              "on TPU at >40dB PSNR vs float32 (the warp integration always "
                              "runs in float32)")
+    parser.add_argument("--warp-backend", type=str, default="auto",
+                        choices=("auto", "pallas", "jnp"),
+                        help="RBF warp implementation for path integration: the fused "
+                             "Pallas kernel (default on TPU; 2.4x) or the jnp all-sets "
+                             "formulation")
     parser.set_defaults(cuda=True)
     return parser
 
@@ -189,9 +194,10 @@ def main(argv=None):
     if shift_in_w_space:
         # The warp integration stays float32 regardless of the render dtype.
         latents = G.get_w(G.params, latents)
+    use_pallas = None if args.warp_backend == "auto" else (args.warp_backend == "pallas")
     codes, shifts = traverse_paths(
         S, s_params, latents, eps=args.eps, shift_steps=args.shift_steps,
-        shift_leap=args.shift_leap, mesh=mesh)
+        shift_leap=args.shift_leap, mesh=mesh, use_pallas=use_pallas)
     codes_np = np.asarray(codes)
 
     g_params_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -215,6 +221,7 @@ def main(argv=None):
 def _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
                   latent_codes_dirs, num_of_latent_codes, num_gen_paths, out_dir,
                   shift_in_w_space, writer):
+    num_frames = codes.shape[2]
     for i in range(num_of_latent_codes):
         latent_code_hash = latent_codes_dirs[i]
         if args.verbose:
@@ -227,33 +234,41 @@ def _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
         os.makedirs(latent_code_dir, exist_ok=True)
         transformed_images_root_dir = osp.join(latent_code_dir, "paths_images")
         os.makedirs(transformed_images_root_dir, exist_ok=True)
-
+        path_dirs = []
         for dim in range(num_gen_paths):
-            if args.verbose:
-                print()
-                update_progress(
-                    "      \\__path: {:03d}/{:03d} ".format(dim + 1, num_gen_paths),
-                    num_gen_paths, dim + 1)
+            d = osp.join(transformed_images_root_dir, "path_{:03d}".format(dim))
+            os.makedirs(d, exist_ok=True)
+            path_dirs.append(d)
 
-            imgs = render_codes(
-                G, g_params, codes[i, dim].astype(g_params_dtype),
-                shifts[i, dim].astype(g_params_dtype),
-                batch_size=args.batch_size, latent_is_w=shift_in_w_space)
-
-            transformed_images_dir = osp.join(
-                transformed_images_root_dir, "path_{:03d}".format(dim))
-            os.makedirs(transformed_images_dir, exist_ok=True)
-            # JPEG encodes run on a host thread pool, overlapped with the
-            # accelerator rendering the next path (traverse/writer.py).
-            for t in range(imgs.shape[0]):
-                writer.submit(imgs[t],
-                              osp.join(transformed_images_dir, "{:06d}.jpg".format(t)),
+        # ALL of this code's frames (every path x every step) as ONE flat
+        # render stream: frames of different paths share device batches (no
+        # underfilled per-path tails, one dispatch chain instead of K), frames
+        # come back uint8 (device-side conversion), and JPEG encodes overlap
+        # on the writer's thread pool.
+        flat_codes = codes[i].reshape(num_gen_paths * num_frames, -1)
+        flat_shifts = shifts[i].reshape(num_gen_paths * num_frames, -1)
+        done_paths = 0
+        for start, imgs in iter_rendered_u8(
+            G, g_params, flat_codes, flat_shifts, batch_size=args.batch_size,
+            latent_is_w=shift_in_w_space, dtype=g_params_dtype,
+        ):
+            for j in range(imgs.shape[0]):
+                dim, t = divmod(start + j, num_frames)
+                writer.submit(imgs[j],
+                              osp.join(path_dirs[dim], "{:06d}.jpg".format(t)),
                               img_size=args.img_size, quality=args.img_quality)
-                if (t == imgs.shape[0] // 2) and (dim == 0):
-                    writer.submit(imgs[t], osp.join(latent_code_dir, "original_image.jpg"),
+                if dim == 0 and t == num_frames // 2:
+                    writer.submit(imgs[j], osp.join(latent_code_dir, "original_image.jpg"),
                                   img_size=args.img_size, quality=95)
             if args.verbose:
-                update_stdout(1)
+                completed = (start + imgs.shape[0]) // num_frames
+                while done_paths < completed:
+                    done_paths += 1
+                    print()
+                    update_progress(
+                        "      \\__path: {:03d}/{:03d} ".format(done_paths, num_gen_paths),
+                        num_gen_paths, done_paths)
+                    update_stdout(1)
 
         # (K, T, dim) latent codes of all paths for this sample (reference :488-490).
         save_pt(codes_np[i], osp.join(latent_code_dir, "paths_latent_codes.pt"))

@@ -17,13 +17,17 @@ def tensor2image(img_hwc: np.ndarray, img_size: int | None = None, adaptive: boo
     adaptive=True rescales by the image's own min/max (the traversal scripts'
     default); otherwise maps tanh range [-1, 1] -> [0, 1] with clipping.
     """
-    x = np.asarray(img_hwc, dtype=np.float32)
-    if adaptive:
-        lo, hi = x.min(), x.max()
-        x = (x - lo) / max(hi - lo, 1e-12)
+    x = np.asarray(img_hwc)
+    if x.dtype == np.uint8:
+        pass  # already converted (device-side adaptive path, engine.iter_rendered_u8)
     else:
-        x = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
-    x = (255.0 * x).astype(np.uint8)
+        x = x.astype(np.float32)
+        if adaptive:
+            lo, hi = x.min(), x.max()
+            x = (x - lo) / max(hi - lo, 1e-12)
+        else:
+            x = np.clip((x + 1.0) / 2.0, 0.0, 1.0)
+        x = (255.0 * x).astype(np.uint8)
     if x.shape[-1] == 1:
         x = x[..., 0]
     pil = Image.fromarray(x)
