@@ -37,10 +37,10 @@ def test_sfd_parity():
     rng = np.random.RandomState(0)
     img = rng.rand(1, 128, 128, 3).astype(np.float32) * 255.0
 
-    # Reference pipeline (NCHW, BGR-mean subtraction happens in detect()).
-    img_t = torch.from_numpy(
-        (img.transpose(0, 3, 1, 2) - np.array([104, 117, 123], dtype=np.float32)[None, :, None, None])
-    )
+    # batch_detect feeds the net VERBATIM on both sides (the reference's batch
+    # path never subtracts the BGR means — detect.py:33-75; only the
+    # single-image detect() does).
+    img_t = torch.from_numpy(np.ascontiguousarray(img.transpose(0, 3, 1, 2)))
     ref_boxes = ref_detect.batch_detect(ref, img_t, device="cpu")
 
     got_boxes = det.batch_detect(img)
@@ -52,6 +52,15 @@ def test_sfd_parity():
     ref_final = [x for x in ref_boxes[0][ref_keep, :] if x[-1] > 0.5]
     got_final, _, _ = det.detect_from_batch(img)
     assert len(got_final[0]) == len(ref_final)
+
+    # Single-image path: both sides subtract the means internally.
+    ref_single = ref_detect.detect(ref, img[0], device="cpu")[0]
+    keep = ref_nms(ref_single, 0.3)
+    ref_single = [x for x in ref_single[keep, :] if x[-1] > 0.5]
+    got_single = det.detect_from_image(img[0])
+    assert len(got_single) == len(ref_single)
+    for g, r in zip(got_single, ref_single):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-2, atol=1e-3)
 
 
 def test_arcface_parity():

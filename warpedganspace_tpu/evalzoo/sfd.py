@@ -68,8 +68,8 @@ def _l2norm(x, weight):
 
 
 def s3fd_apply(params: dict, x: jax.Array):
-    """(B, H, W, 3) mean-subtracted input -> 12 head maps (cls/reg alternating),
-    with softmax already applied on the cls maps (detect.py:46-47)."""
+    """(B, H, W, 3) input (fed verbatim, like the reference batch path) -> 12
+    head maps (cls/reg alternating), softmax applied on cls (detect.py:46-47)."""
     h = x
     feats = {}
     for name, _, _, stride, pad in _CONVS:
@@ -212,10 +212,15 @@ class SFDDetector:
         return cls(s3fd_params_from_state_dict(sd), **kwargs)
 
     def batch_detect(self, img_batch_nhwc: np.ndarray) -> np.ndarray:
-        """img: (B, H, W, 3) RGB float (0..255 scale), mean-subtracted inside."""
-        x = jnp.asarray(img_batch_nhwc, dtype=jnp.float32) - jnp.asarray(
-            [104.0, 117.0, 123.0]
-        )
+        """img: (B, H, W, 3) float fed to the net VERBATIM.
+
+        Parity quirk: the reference's ``batch_detect`` (detect.py:33-75) does
+        NOT subtract the BGR means — only the single-image ``detect()`` path
+        does (detect.py:20-30) — so the attribute pipeline, which calls
+        ``detect_from_batch``, runs s3fd on raw 0-255 values. Replicated
+        exactly; callers wanting the single-image semantics use
+        ``detect_from_image``."""
+        x = jnp.asarray(img_batch_nhwc, dtype=jnp.float32)
         olist = self._apply(self.params, x)
         # To host, NCHW view for the decoder (matching reference indexing).
         olist_np = [np.asarray(o).transpose(0, 3, 1, 2) for o in olist]
@@ -230,7 +235,9 @@ class SFDDetector:
             img = cv2.cvtColor(cv2.imread(image_or_path), cv2.COLOR_BGR2RGB)
         else:
             img = np.asarray(image_or_path)
-        bboxlist = self.batch_detect(img[None].astype(np.float32))[0]
+        # The single-image path subtracts the BGR means (detect.py:20-21).
+        x = img.astype(np.float32) - np.array([104.0, 117.0, 123.0], dtype=np.float32)
+        bboxlist = self.batch_detect(x[None])[0]
         keep = nms(bboxlist, 0.3)
         bboxlist = bboxlist[keep, :]
         return [x for x in bboxlist if x[-1] > 0.5]

@@ -17,12 +17,15 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 
 def resize_shorter(img_hwc: np.ndarray, size: int) -> np.ndarray:
     """torchvision Resize semantics: scale the shorter side to ``size``
-    (bilinear, half-pixel — cv2 INTER_LINEAR matches)."""
+    (bilinear, half-pixel — cv2 INTER_LINEAR matches). The long side is
+    TRUNCATED, ``int(size * long / short)``, exactly as torchvision's
+    functional.resize computes it (round() would disagree by 1px on ~half of
+    non-square crops and shift every downstream center crop)."""
     h, w = img_hwc.shape[:2]
     if h <= w:
-        nh, nw = size, max(1, int(round(w * size / h)))
+        nh, nw = size, max(1, int(w * size / h))
     else:
-        nh, nw = max(1, int(round(h * size / w))), size
+        nh, nw = max(1, int(h * size / w)), size
     if (nh, nw) == (h, w):
         return img_hwc
     return cv2.resize(img_hwc, (nw, nh), interpolation=cv2.INTER_LINEAR)
