@@ -211,3 +211,26 @@ def test_trainer_mid_training_resume(tmp_path, capsys):
     assert "Start training from iteration 3" in out
     # Parameters moved on from the planted checkpoint (iterations 3..6 ran).
     assert float(np.abs(np.asarray(final_state["s_params"]["support_sets"]) - planted).max()) > 0
+
+
+def test_tensorboard_scalars_written(tmp_path, monkeypatch):
+    """--tensorboard writes per-iteration event files (reference parity:
+    lib/trainer.py:55-63 + :242-247); --no-tensorboard-server suppresses the
+    in-process server (a deviation flag; the reference always launches one)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+    import glob
+    import os.path as osp
+
+    from warpedganspace_tpu.cli import train as train_cli
+
+    train_cli.main([
+        "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+        "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+        "--max-shift-magnitude", "0.25", "--max-iter", "2", "--batch-size", "2",
+        "--log-freq", "2", "--ckp-freq", "2",
+        "--tensorboard", "--no-tensorboard-server",
+    ])
+    exp = osp.join("experiments", "complete", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+    events = glob.glob(osp.join(exp, "tensorboard", "events.out.tfevents.*"))
+    assert events, "no TensorBoard event files written"

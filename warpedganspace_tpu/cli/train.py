@@ -67,6 +67,10 @@ def build_parser():
     parser.add_argument("--ckp-freq", default=1000, type=int,
                         help="set number iterations per checkpoint model saving")
     parser.add_argument("--tensorboard", action="store_true", help="use tensorboard")
+    parser.add_argument("--no-tensorboard-server", action="store_true",
+                        help="with --tensorboard: write scalars but do not launch the "
+                             "in-process TensorBoard server (the reference always "
+                             "launches one, lib/trainer.py:55-63)")
     parser.add_argument("--seed", type=int, default=0, help="RNG seed (new; JAX threaded keys)")
 
     # === Devices ===

@@ -99,6 +99,20 @@ class Trainer:
             except Exception as e:  # tensorboard not installed — degrade quietly
                 print(f"#. Warning: TensorBoard unavailable ({e}); scalar logging disabled")
                 self.tb_writer = None
+            # In-process TensorBoard server, like the reference
+            # (lib/trainer.py:55-63). Best-effort: port conflicts / missing
+            # package must not kill a training run.
+            if self.tb_writer is not None and not getattr(
+                self.params, "no_tensorboard_server", False
+            ):
+                try:
+                    from tensorboard import program
+
+                    tb = program.TensorBoard()
+                    tb.configure(argv=[None, "--logdir", self.tb_dir, "--port", "0"])
+                    print("#. Start TensorBoard at {}".format(tb.launch()))
+                except Exception as e:
+                    print(f"#. Warning: TensorBoard server not started ({e})")
 
         self.stat_tracker = TrainingStatTracker()
 
