@@ -71,6 +71,48 @@ def test_biggan_forward_parity(ref_biggan):
     np.testing.assert_allclose(img, ref_img, rtol=5e-2, atol=5e-3)
 
 
+@pytest.mark.parametrize("resolution,ch,attn", [(64, 16, "32_64"), (256, 16, "64")])
+def test_biggan_other_resolutions_parity(resolution, ch, attn):
+    """All reference arch tables (BigGAN.py:13-51), not just the shipped 128:
+    64^2 with dual attention and 256^2 (7 slots -> dim_z shrinks 120->119)."""
+    torch = torch_or_skip()
+    add_reference_to_path()
+    from models.BigGAN import BigGAN
+
+    torch.manual_seed(1)
+    G = BigGAN.Generator(
+        G_ch=ch, dim_z=120, resolution=resolution, G_attn=attn, n_classes=20,
+        G_shared=True, shared_dim=16, hier=True, skip_init=True, no_optim=True)
+    with torch.no_grad():
+        for name, buf in G.named_buffers():
+            if name.endswith("stored_mean"):
+                buf.normal_(0, 0.1)
+            elif name.endswith("stored_var"):
+                buf.uniform_(0.6, 1.5)
+    G.eval()
+
+    from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict
+    from warpedganspace_tpu.models.biggan import BigGANGenerator
+
+    gen = BigGANGenerator(resolution=resolution, ch=ch, dim_z=120, shared_dim=16,
+                          n_classes=20, attention=attn, target_classes=(3,))
+    assert gen.dim_z_effective == G.dim_z  # reference shrinks dim_z in-place
+    params = biggan_params_from_state_dict(state_dict_numpy(G))
+
+    rng = np.random.RandomState(2)
+    z = rng.randn(2, G.dim_z).astype(np.float32)
+    y = np.array([3, 7])
+    with torch.no_grad():
+        ref_img = G(torch.from_numpy(z), G.shared(torch.from_numpy(y))).numpy()
+    img = np.asarray(
+        gen.apply(params, jnp.asarray(z), y=jnp.asarray(y))
+    ).transpose(0, 3, 1, 2)
+    assert img.shape == ref_img.shape == (2, 3, resolution, resolution)
+    peak = ref_img.max() - ref_img.min()
+    psnr = 10 * math.log10(peak**2 / float(np.mean((img - ref_img) ** 2)))
+    assert psnr > 40.0, f"{resolution}: PSNR {psnr:.1f} dB"
+
+
 def test_biggan_default_class_sampling(ref_biggan):
     _, G = ref_biggan
     from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict

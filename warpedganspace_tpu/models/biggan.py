@@ -53,22 +53,40 @@ NCLASS_DICT = {"I32": 1000, "I32_hdf5": 1000, "I64": 1000, "I64_hdf5": 1000,
                "C10": 10, "C100": 100}
 
 
-def biggan_arch(ch: int = 96, resolution: int = 128) -> dict:
-    """Generator architecture table (reference BigGAN.py:13-52)."""
+def biggan_arch(ch: int = 96, resolution: int = 128, attention: str = "64") -> dict:
+    """Generator architecture table, all reference resolutions
+    (reference BigGAN.py:13-52). ``attention`` is the reference's G_attn
+    spec — underscore-separated resolutions, e.g. "32_64"."""
     tables = {
-        128: {
-            "in_channels": [ch * m for m in [16, 16, 8, 4, 2]],
-            "out_channels": [ch * m for m in [16, 8, 4, 2, 1]],
-            "resolution": [8, 16, 32, 64, 128],
+        512: {
+            "in_channels": [ch * m for m in [16, 16, 8, 8, 4, 2, 1]],
+            "out_channels": [ch * m for m in [16, 8, 8, 4, 2, 1, 1]],
+            "resolution": [8, 16, 32, 64, 128, 256, 512],
         },
         256: {
             "in_channels": [ch * m for m in [16, 16, 8, 8, 4, 2]],
             "out_channels": [ch * m for m in [16, 8, 8, 4, 2, 1]],
             "resolution": [8, 16, 32, 64, 128, 256],
         },
+        128: {
+            "in_channels": [ch * m for m in [16, 16, 8, 4, 2]],
+            "out_channels": [ch * m for m in [16, 8, 4, 2, 1]],
+            "resolution": [8, 16, 32, 64, 128],
+        },
+        64: {
+            "in_channels": [ch * m for m in [16, 16, 8, 4]],
+            "out_channels": [ch * m for m in [16, 8, 4, 2]],
+            "resolution": [8, 16, 32, 64],
+        },
+        32: {
+            "in_channels": [ch * m for m in [4, 4, 4]],
+            "out_channels": [ch * m for m in [4, 4, 4]],
+            "resolution": [8, 16, 32],
+        },
     }
     arch = tables[resolution]
-    arch["attention"] = [r == 64 for r in arch["resolution"]]
+    attn_res = {int(a) for a in str(attention).split("_")}
+    arch["attention"] = [r in attn_res for r in arch["resolution"]]
     return arch
 
 
@@ -121,6 +139,7 @@ class BigGANGenerator:
     n_classes: int = 1000
     bottom_width: int = 4
     target_classes: tuple[int, ...] = (239,)
+    attention: str = "64"  # G_attn spec, e.g. "32_64"
 
     @classmethod
     def from_config(cls, config: dict | None = None, target_classes=(239,)) -> "BigGANGenerator":
@@ -144,11 +163,12 @@ class BigGANGenerator:
             shared_dim=config["shared_dim"],
             n_classes=NCLASS_DICT[config["dataset"]],
             target_classes=tuple(int(c) for c in target_classes),
+            attention=str(config.get("G_attn", "64")),
         )
 
     @property
     def arch(self) -> dict:
-        return biggan_arch(self.ch, self.resolution)
+        return biggan_arch(self.ch, self.resolution, self.attention)
 
     @property
     def num_slots(self) -> int:
@@ -157,6 +177,14 @@ class BigGANGenerator:
     @property
     def z_chunk_size(self) -> int:
         return self.dim_z // self.num_slots
+
+    @property
+    def dim_z_effective(self) -> int:
+        """The reference SHRINKS dim_z to z_chunk_size * num_slots when the
+        hierarchical split is not exact (BigGAN.py:102-111) — e.g. 120 -> 119
+        at 256^2 (7 slots). ``apply`` accepts z of either length (trailing
+        elements are unused, exactly like the reference's narrow())."""
+        return self.z_chunk_size * self.num_slots
 
     # -------------------------------------------------------------------- init
     def init(self, key: jax.Array) -> dict:
@@ -233,7 +261,8 @@ class BigGANGenerator:
             z = z + shift
         y_embed = jnp.take(params["shared_embed"], y, axis=0)  # (B, shared_dim)
 
-        # Hierarchical z: 6 chunks of 20.
+        # Hierarchical z: num_slots chunks of dim_z // num_slots
+        # (6 chunks of 20 at the shipped 128^2 config).
         chunks = [
             z[:, i * self.z_chunk_size : (i + 1) * self.z_chunk_size]
             for i in range(self.num_slots)
