@@ -56,12 +56,12 @@ from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator  # noqa: E402
 from warpedganspace_tpu.models.support_sets import SupportSets  # noqa: E402
 from warpedganspace_tpu.train import TrainStepConfig, init_train_state, make_train_step  # noqa: E402
 
-# ---------------- render (bf16, B=16 — the headline config) -----------------
+# ---------------- render (bf16, B=96 — the headline config) -----------------
 gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
 params = jax.jit(gen.init)(jax.random.key(0))
 p16 = jax.tree_util.tree_map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
-B = 16
+B = 96  # throughput plateau (see bench.py sweep)
 w = jax.random.normal(jax.random.key(1), (B, 512), jnp.bfloat16)
 sh = jnp.zeros((B, 512), jnp.bfloat16)
 
