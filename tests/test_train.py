@@ -213,6 +213,42 @@ def test_trainer_mid_training_resume(tmp_path, capsys):
     assert float(np.abs(np.asarray(final_state["s_params"]["support_sets"]) - planted).max()) > 0
 
 
+def test_trainer_orbax_backend_resume(tmp_path, capsys):
+    """--checkpoint-backend orbax: mid-run checkpoint resumes EXACTLY
+    (params + optimizer state restored bit-for-bit, no torch format in the
+    loop), completed copy excludes the orbax dir like checkpoint.pt."""
+    pytest.importorskip("orbax.checkpoint")
+    G, S, R, cfg = _tiny_setup(batch_size=4)
+    p = _trainer_params(tmp_path, max_iter=6)
+    p.checkpoint_backend = "orbax"
+    root = str(tmp_path / "experiments")
+
+    trn = Trainer(params=p, exp_dir="exp-orbax", root=root)
+    key = jax.random.key(trn.seed)
+    state = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg, donate=False)
+    for it in range(1, 4):
+        state, _ = step(state, G.params, key, it)
+    trn.save_checkpoint(3, S, state)
+
+    trn2 = Trainer(params=p, exp_dir="exp-orbax", root=root)
+    start, restored = trn2.get_starting_iteration(S, R, init_train_state(key, G, S, R, cfg))
+    assert start == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    trn3 = Trainer(params=p, exp_dir="exp-orbax", root=root)
+    trn3.train(G, S, R)
+    out = capsys.readouterr().out
+    assert "Start training from iteration 3" in out
+    wip = osp.join(root, "wip", "exp-orbax")
+    complete = osp.join(root, "complete", "exp-orbax")
+    assert osp.isdir(osp.join(wip, "models", "orbax"))
+    assert osp.isfile(osp.join(complete, "models", "support_sets.pt"))
+    assert not osp.isdir(osp.join(complete, "models", "orbax"))
+    assert not osp.isfile(osp.join(complete, "models", "checkpoint.pt"))
+
+
 def test_tensorboard_scalars_written(tmp_path, monkeypatch):
     """--tensorboard writes per-iteration event files (reference parity:
     lib/trainer.py:55-63 + :242-247); --no-tensorboard-server suppresses the

@@ -67,6 +67,13 @@ def build_parser():
     parser.add_argument("--ckp-freq", default=1000, type=int,
                         help="set number iterations per checkpoint model saving")
     parser.add_argument("--tensorboard", action="store_true", help="use tensorboard")
+    parser.add_argument("--checkpoint-backend", type=str, default="pt",
+                        choices=("pt", "orbax"),
+                        help="'pt' (default): reference-format checkpoint.pt + atomic "
+                             "optimizer sidecar; 'orbax': TPU-native CheckpointManager "
+                             "(atomic, pickle-free, sharded-array aware for multi-host "
+                             "runs). Final support_sets.pt/reconstructor.pt exports are "
+                             "written either way.")
     parser.add_argument("--no-tensorboard-server", action="store_true",
                         help="with --tensorboard: write scalars but do not launch the "
                              "in-process TensorBoard server (the reference always "

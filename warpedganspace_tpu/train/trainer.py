@@ -86,6 +86,11 @@ class Trainer:
         os.makedirs(self.models_dir, exist_ok=True)
         self.checkpoint = osp.join(self.models_dir, "checkpoint.pt")
         self.opt_sidecar = osp.join(self.models_dir, "optimizer_state.npz")
+        # 'pt' = reference-format checkpoint.pt + optimizer sidecar;
+        # 'orbax' = TPU-native manager (atomic, sharded-array aware).
+        self.checkpoint_backend = getattr(params, "checkpoint_backend", "pt")
+        if self.checkpoint_backend not in ("pt", "orbax"):
+            raise ValueError(f"unknown checkpoint backend {self.checkpoint_backend!r}")
 
         self.tensorboard = bool(getattr(self.params, "tensorboard", False))
         self.tb_writer = None
@@ -117,7 +122,34 @@ class Trainer:
         self.stat_tracker = TrainingStatTracker()
 
     # ------------------------------------------------------------- checkpoints
+    def _orbax_manager(self):
+        """CheckpointManager for the 'orbax' backend (created lazily)."""
+        if getattr(self, "_orbax_mgr", None) is None:
+            import orbax.checkpoint as ocp
+
+            self._orbax_mgr = ocp.CheckpointManager(
+                osp.abspath(osp.join(self.models_dir, "orbax")),
+                options=ocp.CheckpointManagerOptions(max_to_keep=2),
+            )
+        return self._orbax_mgr
+
     def save_checkpoint(self, iteration: int, S, state):
+        if self.checkpoint_backend == "orbax":
+            # TPU-native path: atomic, pickle-free, and — unlike the .pt +
+            # sidecar pair — handles sharded jax.Arrays natively, so the SAME
+            # call works under multi-host DCN training. The reference-format
+            # final .pt exports (support_sets.pt etc.) are still written when
+            # training completes, so the downstream pipeline is unaffected.
+            import orbax.checkpoint as ocp
+
+            mgr = self._orbax_manager()
+            mgr.save(iteration, args=ocp.args.StandardSave(state))
+            # Orbax saves asynchronously; finalize before returning so a crash
+            # right after save_checkpoint can always resume from this step
+            # (same durability contract as the reference's synchronous
+            # torch.save).
+            mgr.wait_until_finished()
+            return
         save_pt(
             {
                 "iter": iteration,
@@ -140,7 +172,23 @@ class Trainer:
         os.replace(tmp, self.opt_sidecar)
 
     def get_starting_iteration(self, S, R, state) -> tuple[int, dict]:
-        """Resume from checkpoint.pt if present (reference trainer.py:74-89)."""
+        """Resume from checkpoint.pt (reference trainer.py:74-89) or, with the
+        orbax backend, from the newest orbax step."""
+        if self.checkpoint_backend == "orbax":
+            if not osp.isdir(osp.join(self.models_dir, "orbax")):
+                return 1, state
+            import orbax.checkpoint as ocp
+
+            mgr = self._orbax_manager()
+            step = mgr.latest_step()
+            if step is None:
+                return 1, state
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+                state)
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+            return int(step), restored
         if not osp.isfile(self.checkpoint):
             return 1, state
         ckpt = load_pt(self.checkpoint)
@@ -240,7 +288,7 @@ class Trainer:
                 shutil.copytree(
                     src=self.wip_dir,
                     dst=self.complete_dir,
-                    ignore=shutil.ignore_patterns("checkpoint.pt"),
+                    ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
                 )
                 print("  \\__Done!")
             except (IOError, FileExistsError) as e:
@@ -320,7 +368,7 @@ class Trainer:
             shutil.copytree(
                 src=self.wip_dir,
                 dst=self.complete_dir,
-                ignore=shutil.ignore_patterns("checkpoint.pt"),
+                ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
             )
             print("  \\__Done!")
         except (IOError, FileExistsError) as e:
