@@ -263,3 +263,34 @@ def test_tail_layouts_equivalent():
         outs[layout] = np.asarray(gen.apply(params, z))
     np.testing.assert_allclose(outs["s2d"], outs["nhwc"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(outs["nchw"], outs["nhwc"], rtol=1e-4, atol=1e-5)
+
+
+def test_remat_policies_same_output():
+    """remat False / 'tail' / True are pure memory/recompute trades — the
+    forward output and gradients must be identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    gens = {
+        r: StyleGAN2Generator(resolution=128, channel_multiplier=1, n_mlp=2, remat=r)
+        for r in (False, "tail", True)
+    }
+    params = gens[False].init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    sh = 0.05 * jax.random.normal(jax.random.key(2), (2, 512))
+
+    outs = {r: g.apply(params, z, sh) for r, g in gens.items()}
+    np.testing.assert_allclose(np.asarray(outs["tail"]), np.asarray(outs[False]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(g):
+        def f(s):
+            return jnp.sum(g.apply(params, z, s) ** 2)
+        return jax.grad(f)(sh)
+
+    g_tail, g_off = loss(gens["tail"]), loss(gens[False])
+    np.testing.assert_allclose(np.asarray(g_tail), np.asarray(g_off), rtol=1e-4, atol=1e-5)

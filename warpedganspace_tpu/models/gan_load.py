@@ -63,12 +63,12 @@ def build_sngan(pretrained_gan_weights: str, gan_type: str, allow_random_init: b
 
 
 def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = None,
-                  remat: bool = False) -> GeneratorBundle:
+                  remat: bool | str = False) -> GeneratorBundle:
     """ProgGAN 1024^2 CelebA-HQ. Parity: models/gan_load.py:109-129."""
     from warpedganspace_tpu.convert import proggan_params_from_state_dict
     from warpedganspace_tpu.models.proggan import ProgGANGenerator
 
-    gen = ProgGANGenerator(remat=remat)
+    gen = ProgGANGenerator(remat=bool(remat))  # ProgGAN has no tail policy
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     params = gen.init(jax.random.key(0)) if sd is None else proggan_params_from_state_dict(sd)
     return GeneratorBundle(
@@ -86,7 +86,7 @@ def build_stylegan2(
     resolution: int,
     shift_in_w_space: bool = False,
     allow_random_init: bool | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> GeneratorBundle:
     """StyleGAN2 FFHQ (256 / 1024, config-f). Parity: models/gan_load.py:145-188."""
     from warpedganspace_tpu.convert.stylegan2 import stylegan2_params_from_state_dict
@@ -146,7 +146,7 @@ def build_gan(
     shift_in_w_space: bool = False,
     weights_root: str = ".",
     allow_random_init: bool | None = None,
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> GeneratorBundle:
     """Dispatcher used by the CLI scripts (parity: traverse_latent_space.py:233-259)."""
     from warpedganspace_tpu.config import GAN_WEIGHTS

@@ -356,7 +356,11 @@ class StyleGAN2Generator:
     shift_in_w_space: bool = False
     # Rematerialize per-resolution blocks during backprop-through-G (training
     # at 1024^2 with bs 8-12 otherwise exhausts HBM — SURVEY hard part #2).
-    remat: bool = False
+    # True = checkpoint every block (max memory savings); "tail" = checkpoint
+    # only the <128-channel high-resolution blocks (the memory hogs) and store
+    # the cheap low-res activations, trading a little HBM for less backward
+    # recompute; False = store everything.
+    remat: bool | str = False
     # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth,
     # fastest — see the S2D section above), "nchw", or "nhwc" (plain).
     tail_layout: str = "s2d"
@@ -465,6 +469,8 @@ class StyleGAN2Generator:
         """Run the synthesis network on per-layer W latents (B, n_latent, 512)."""
         if self.tail_layout not in ("s2d", "nchw", "nhwc"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r}")
+        if self.remat not in (True, False, "tail"):
+            raise ValueError(f"unknown remat policy {self.remat!r}")
         b = latent.shape[0]
         if noise is None:
             if randomize_noise:
@@ -484,25 +490,30 @@ class StyleGAN2Generator:
         out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
 
-        def block(block_params, out, skip, lat3, n1, n2, fmt, entry):
-            conv_up, conv, rgb = block_params
-            sc = styled_conv
-            rg = to_rgb
-            if self.remat:
-                # Per-op remat: the backward then holds ONE high-res temp set
-                # at a time (at 1024^2 the conv temps are lane-padded to ~4GB
-                # each regardless of batch — XLA assigns feature-minor conv
-                # layouts — so per-block remat still OOMs a 16GB chip; the S2D
-                # tail removes that padding entirely).
-                sc = jax.checkpoint(styled_conv, static_argnums=(4, 5, 6))
-                rg = jax.checkpoint(to_rgb, static_argnums=(4, 5))
-            out = sc(conv_up, out, lat3[:, 0], n1, True, fmt, entry)
-            out = sc(conv, out, lat3[:, 1], n2, False, fmt, False)
-            skip = rg(rgb, out, lat3[:, 2], skip, fmt, entry)
-            return out, skip
+        def make_block(remat_this):
+            def block(block_params, out, skip, lat3, n1, n2, fmt, entry):
+                conv_up, conv, rgb = block_params
+                sc = styled_conv
+                rg = to_rgb
+                if remat_this:
+                    # Per-op remat: the backward then holds ONE high-res temp
+                    # set at a time (at 1024^2 the conv temps are lane-padded
+                    # to ~4GB each regardless of batch — XLA assigns
+                    # feature-minor conv layouts — so per-block remat still
+                    # OOMs a 16GB chip; the S2D tail removes that padding
+                    # entirely).
+                    sc = jax.checkpoint(styled_conv, static_argnums=(4, 5, 6))
+                    rg = jax.checkpoint(to_rgb, static_argnums=(4, 5))
+                out = sc(conv_up, out, lat3[:, 0], n1, True, fmt, entry)
+                out = sc(conv, out, lat3[:, 1], n2, False, fmt, False)
+                skip = rg(rgb, out, lat3[:, 2], skip, fmt, entry)
+                return out, skip
 
-        if self.remat:
-            block = jax.checkpoint(block, static_argnums=(6, 7))
+            if remat_this:
+                block = jax.checkpoint(block, static_argnums=(6, 7))
+            return block
+
+        blocks = {True: make_block(True), False: make_block(False)}
 
         i = 1
         fmt = "NHWC"
@@ -525,7 +536,8 @@ class StyleGAN2Generator:
                 params["convs"][2 * idx + 1],
                 params["to_rgbs"][idx],
             )
-            out, skip = block(
+            remat_this = (self.remat is True) or (self.remat == "tail" and ch[res] < 128)
+            out, skip = blocks[remat_this](
                 block_params, out, skip, latent[:, i : i + 3],
                 noise[2 * idx + 1], noise[2 * idx + 2], fmt, entry,
             )
