@@ -44,3 +44,23 @@ def test_proggan_forward_parity():
     mse = float(np.mean((img_nchw - ref_img) ** 2))
     psnr = 10 * np.log10(peak**2 / mse)
     assert psnr > 40.0, f"PSNR {psnr:.1f} dB"
+
+
+def test_proggan_remat_policies_same_output():
+    import jax
+    import jax.numpy as jnp
+
+    from warpedganspace_tpu.models.proggan import ProgGANGenerator
+
+    # Tiny stand-in: reuse real block specs but random params at full channel
+    # table would be slow on CPU; a short forward at bs1 is enough since the
+    # policies only change checkpointing, not math.
+    params = ProgGANGenerator().init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 512))
+    outs = {}
+    for r in (False, "tail", True):
+        outs[r] = ProgGANGenerator(remat=r).apply(params, z)
+    np.testing.assert_allclose(np.asarray(outs["tail"]), np.asarray(outs[False]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
+                               rtol=1e-6, atol=1e-6)

@@ -68,7 +68,7 @@ def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = 
     from warpedganspace_tpu.convert import proggan_params_from_state_dict
     from warpedganspace_tpu.models.proggan import ProgGANGenerator
 
-    gen = ProgGANGenerator(remat=bool(remat))  # ProgGAN has no tail policy
+    gen = ProgGANGenerator(remat=remat)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     params = gen.init(jax.random.key(0)) if sd is None else proggan_params_from_state_dict(sd)
     return GeneratorBundle(

@@ -31,7 +31,9 @@ class ProgGANGenerator:
     resolution: int = 1024
     image_channels: int = 3
     # Rematerialize blocks during backprop-through-G (1024^2 training memory).
-    remat: bool = False
+    # True = every block; "tail" = only the <128-channel high-resolution
+    # blocks (the memory hogs; low-res activations are cheap to store).
+    remat: bool | str = False
     # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth;
     # removes the TPU lane padding of the 16-64 channel layers — see
     # ops/s2d.py) or "nhwc" (plain).
@@ -95,21 +97,24 @@ class ProgGANGenerator:
                 x = x * p["wscale_scale"] + p["wscale_bias"]
             return jnp.where(x >= 0, x, 0.2 * x)
 
-        if self.remat:
-            block = jax.checkpoint(block, static_argnums=(2, 3, 4, 5, 6))
+        if self.remat not in (True, False, "tail"):
+            raise ValueError(f"unknown remat policy {self.remat!r}")
+        block_ckpt = jax.checkpoint(block, static_argnums=(2, 3, 4, 5, 6))
 
         fmt = "NHWC"
         for spec, p in zip(_BLOCK_SPECS, params["blocks"]):
             kernel, pad, up = spec
             entry = False
+            cout = p["conv"]["w"].shape[3]
             if (
                 self.tail_layout == "s2d"
                 and fmt == "NHWC"
                 and up
-                and p["conv"]["w"].shape[3] < 128
+                and cout < 128
             ):
                 fmt, entry = "S2D", True
-            x = block(p, x, kernel, pad, up, fmt, entry)
+            remat_this = (self.remat is True) or (self.remat == "tail" and cout < 128)
+            x = (block_ckpt if remat_this else block)(p, x, kernel, pad, up, fmt, entry)
         if fmt == "S2D":
             x = s2d.pixel_norm_s2d(x)
             x = s2d.s2d_conv(x, s2d.diag_1x1_kernel(params["out"]["conv"]["w"]),
