@@ -165,8 +165,12 @@ def _measure_tpu():
     warp_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
     log(f"warp jnp all-sets: {warp_evals_per_sec:.0f} evals/s")
 
+    # bf16 set storage = the production traversal configuration (bit-identical
+    # to f32 storage on TPU — the default-precision MXU rounds f32 operands to
+    # bf16 anyway — at half the HBM traffic; traverse/engine.py).
     ws = prepare_warp_sets(
-        s_params["support_sets"], s_params["alphas"], S.gammas(s_params))
+        s_params["support_sets"], s_params["alphas"], S.gammas(s_params),
+        dtype=jnp.bfloat16)
     pallas_fn = jax.jit(lambda ws, z: warp_grad_all_sets_kn(ws, z))
     try:
         sync(pallas_fn(ws, zb_kn))
@@ -175,7 +179,7 @@ def _measure_tpu():
             o = pallas_fn(ws, zb_kn)
         sync(o)
         pallas_evals_per_sec = n_codes * 200 * reps / (time.perf_counter() - t0)
-        log(f"warp pallas all-sets: {pallas_evals_per_sec:.0f} evals/s "
+        log(f"warp pallas all-sets (bf16 sets): {pallas_evals_per_sec:.0f} evals/s "
             f"({pallas_evals_per_sec / warp_evals_per_sec:.2f}x jnp)")
     except Exception as e:
         log(f"pallas warp failed: {e}")

@@ -62,6 +62,24 @@ def test_row_blocking_many_rows():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
 
+def test_bf16_set_storage_close_to_f32():
+    """bf16 set storage (the TPU production config; on TPU it is bit-identical
+    because the default-precision MXU rounds f32 operands to bf16 anyway).
+    Here in the interpreter dots are true f32, so bf16 storage shows the
+    expected small rounding — this pins the plumbing (svsq stays exact f32)."""
+    sv, a, g, z = _random_problem(jax.random.key(7), 6, 16, 40, 5)
+    ws32 = prepare_warp_sets(sv, a, g)
+    ws16 = prepare_warp_sets(sv, a, g, dtype=jnp.bfloat16)
+    zkn = jnp.transpose(z, (1, 0, 2))
+    d32 = warp_grad_all_sets_kn(ws32, zkn)
+    d16 = warp_grad_all_sets_kn(ws16, zkn)
+    assert ws16.sv.dtype == jnp.bfloat16
+    assert ws16.svsq_row.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32), rtol=0.05, atol=0.02)
+    cos = np.mean(np.sum(np.asarray(d16) * np.asarray(d32), axis=-1))
+    assert cos > 0.999, cos
+
+
 def test_custom_vjp_matches_jnp_grad():
     sv, a, g, z = _random_problem(jax.random.key(3), 4, 10, 24, 6)
 

@@ -56,13 +56,15 @@ class WarpSets:
     outside the scan. ``d`` is the true latent dim (pre-padding).
     """
 
-    sv: jax.Array       # (K, 2N_pad, d_pad)
+    sv: jax.Array       # (K, 2N_pad, d_pad) f32 or bf16
     g_row: jax.Array    # (K, 1, 2N_pad)  gamma_j      (singleton sublane: the
     ag_row: jax.Array   # (K, 1, 2N_pad)  alpha*gamma   TPU block tiling rule)
+    svsq_row: jax.Array  # (K, 1, 2N_pad) ||sv_j||^2, always f32 (exact even
+    #                     when sv is stored bf16)
     d: int
 
     def tree_flatten(self):
-        return (self.sv, self.g_row, self.ag_row), self.d
+        return (self.sv, self.g_row, self.ag_row, self.svsq_row), self.d
 
     @classmethod
     def tree_unflatten(cls, d, leaves):
@@ -74,43 +76,50 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def prepare_warp_sets(support_sets, alphas, gammas) -> WarpSets:
-    """Pad/pack (K, 2N, d) params for the kernel. Call OUTSIDE the scan."""
+def prepare_warp_sets(support_sets, alphas, gammas, dtype=None) -> WarpSets:
+    """Pad/pack (K, 2N, d) params for the kernel. Call OUTSIDE the scan.
+
+    ``dtype=jnp.bfloat16`` stores the support vectors in bf16 — halves the
+    kernel's HBM traffic (it is HBM-bound) for ~1e-3-level direction error;
+    ||sv||^2 is precomputed here in f32 either way, so only the cross/gradient
+    matmul inputs are rounded.
+    """
     k, n2, d = support_sets.shape
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n2, 128)  # lane dim of g/ag AND sublane of sv -> lcm 128
     sv = jnp.pad(support_sets, ((0, 0), (0, n_pad - n2), (0, d_pad - d)))
+    svsq = jnp.sum(sv * sv, axis=-1)                          # (K, 2N_pad) f32
+    if dtype is not None:
+        sv = sv.astype(dtype)
     ag = jnp.pad(alphas * gammas, ((0, 0), (0, n_pad - n2)))  # 0 => no-op RBF
     g = jnp.pad(gammas, ((0, 0), (0, n_pad - n2)))
-    return WarpSets(sv=sv, g_row=g[:, None, :], ag_row=ag[:, None, :], d=d)
+    return WarpSets(sv=sv, g_row=g[:, None, :], ag_row=ag[:, None, :],
+                    svsq_row=svsq[:, None, :], d=d)
 
 
-def _warp_kernel(sv_ref, g_ref, ag_ref, z_ref, out_ref):
+def _warp_kernel(sv_ref, g_ref, ag_ref, svsq_ref, z_ref, out_ref):
     """One grid step: directions of set k at one row-block of z.
 
-    Blocks: sv (1, 2N, d), g/ag (1, 2N), z/out (1, NB, d). Both matmuls hit
-    the MXU; everything between them stays in VMEM/registers.
+    Blocks: sv (1, 2N, d), g/ag/svsq (1, 1, 2N), z/out (1, NB, d). Both
+    matmuls hit the MXU (native bf16 throughput when sv is stored bf16);
+    everything between them stays in VMEM/registers.
     """
-    sv = sv_ref[0]                       # (2N, d)
+    sv = sv_ref[0]                       # (2N, d) f32 or bf16
     g = g_ref[0]                         # (1, 2N)
     ag = ag_ref[0]                       # (1, 2N)
-    z = z_ref[0]                         # (NB, d)
+    svsq = svsq_ref[0]                   # (1, 2N) f32 (exact)
+    z = z_ref[0]                         # (NB, d) f32
+    zc = z.astype(sv.dtype)
 
-    # ||sv||^2 as a (1, 2N) row via ones @ (sv*sv)^T — a (1,d)x(d,2N) matvec on
-    # the MXU; avoids a (2N,1)->(1,2N) sublane->lane relayout.
-    ones = jnp.ones((1, sv.shape[1]), dtype=jnp.float32)
-    svsq = jax.lax.dot_general(
-        ones, sv * sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                    # (1, 2N)
     zsq = jnp.sum(z * z, axis=1, keepdims=True)            # (NB, 1)
     cross = jax.lax.dot_general(
-        z, sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        zc, sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                    # (NB, 2N) — MXU pass 1
     d2 = zsq - 2.0 * cross + svsq
-    w = ag * jnp.exp(-g * d2)            # (NB, 2N) — VPU
+    w = ag * jnp.exp(-g * d2)            # (NB, 2N) — VPU, f32
     wsum = jnp.sum(w, axis=1, keepdims=True)               # (NB, 1)
     grad = -2.0 * wsum * z + 2.0 * jnp.dot(
-        w, sv, preferred_element_type=jnp.float32
+        w.astype(sv.dtype), sv, preferred_element_type=jnp.float32
     )                                    # (NB, d) — MXU pass 2, same sv block
     n2 = jnp.sum(grad * grad, axis=1, keepdims=True)
     out_ref[0] = grad * jax.lax.rsqrt(n2)
@@ -133,6 +142,7 @@ def _fused_impl(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
             pl.BlockSpec((1, n2, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -140,16 +150,16 @@ def _fused_impl(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((k, n_pad, d_pad), jnp.float32),
         interpret=_interpret(),
-    )(ws.sv, ws.g_row, ws.ag_row, z)
+    )(ws.sv, ws.g_row, ws.ag_row, ws.svsq_row, z)
     return out[:, :n, :d]
 
 
 def _jnp_kn(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
     """jnp twin of the kernel on the packed layout (backward-pass reference)."""
-    sv, g, ag = ws.sv, ws.g_row, ws.ag_row                        # g/ag (K, 1, 2N)
+    sv, g, ag = ws.sv.astype(jnp.float32), ws.g_row, ws.ag_row    # g/ag (K, 1, 2N)
     z = jnp.pad(z_kn, ((0, 0), (0, 0), (0, sv.shape[2] - z_kn.shape[2])))
     zsq = jnp.sum(z * z, axis=-1, keepdims=True)                  # (K, N, 1)
-    svsq = jnp.sum(sv * sv, axis=-1)                              # (K, 2N)
+    svsq = ws.svsq_row[:, 0, :]                                   # (K, 2N) exact
     cross = jnp.einsum("knd,kmd->knm", z, sv)
     d2 = zsq - 2.0 * cross + svsq[:, None, :]
     w = ag * jnp.exp(-g * d2)                                     # (K, N, 2N)
