@@ -76,6 +76,37 @@ def test_biggan_discriminator_parity():
     np.testing.assert_allclose(got, ref_out, rtol=1e-2, atol=1e-2)
 
 
+def test_biggan_discriminator_other_resolutions_parity():
+    """D arch tables beyond the shipped 128 (reference BigGAN.py:247-279):
+    64^2 with dual attention."""
+    torch = torch_or_skip()
+    from tests.reference_utils import add_reference_to_path
+
+    add_reference_to_path()
+    from models.BigGAN import BigGAN
+
+    torch.manual_seed(2)
+    ref = BigGAN.Discriminator(D_ch=16, resolution=64, D_attn="32_64",
+                               n_classes=20, skip_init=True, no_optim=True).eval()
+
+    from warpedganspace_tpu.convert.biggan import biggan_d_params_from_state_dict
+    from warpedganspace_tpu.models.biggan import BigGANDiscriminator
+
+    disc = BigGANDiscriminator(resolution=64, ch=16, n_classes=20, attention="32_64")
+    params = biggan_d_params_from_state_dict(state_dict_numpy(ref))
+    assert len(params["blocks"]) == 5
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 64, 64).astype(np.float32)
+    y = np.array([3, 7])
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+    got = np.asarray(
+        disc.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y))
+    )
+    np.testing.assert_allclose(got, ref_out, rtol=1e-2, atol=1e-2)
+
+
 def test_biggan_gd_pair():
     """G_D wrapper smoke: fake/real scoring with concatenated batches."""
     import jax

@@ -293,18 +293,38 @@ class BigGANGenerator:
 # =========================================================================== #
 
 
-def biggan_d_arch(ch: int = 96, resolution: int = 128) -> dict:
-    """Discriminator architecture table (reference BigGAN.py:247-279)."""
+def biggan_d_arch(ch: int = 96, resolution: int = 128, attention: str = "64") -> dict:
+    """Discriminator architecture tables, all reference resolutions
+    (reference BigGAN.py:247-279). ``attention`` is the D_attn spec."""
     tables = {
+        256: {
+            "in_channels": [3] + [ch * m for m in [1, 2, 4, 8, 8, 16]],
+            "out_channels": [ch * m for m in [1, 2, 4, 8, 8, 16, 16]],
+            "downsample": [True] * 6 + [False],
+            "resolution": [128, 64, 32, 16, 8, 4, 4],
+        },
         128: {
             "in_channels": [3] + [ch * m for m in [1, 2, 4, 8, 16]],
             "out_channels": [ch * m for m in [1, 2, 4, 8, 16, 16]],
             "downsample": [True] * 5 + [False],
             "resolution": [64, 32, 16, 8, 4, 4],
         },
+        64: {
+            "in_channels": [3] + [ch * m for m in [1, 2, 4, 8]],
+            "out_channels": [ch * m for m in [1, 2, 4, 8, 16]],
+            "downsample": [True] * 4 + [False],
+            "resolution": [32, 16, 8, 4, 4],
+        },
+        32: {
+            "in_channels": [3] + [ch * m for m in [4, 4, 4]],
+            "out_channels": [ch * m for m in [4, 4, 4, 4]],
+            "downsample": [True, True, False, False],
+            "resolution": [16, 16, 16, 16],
+        },
     }
     arch = tables[resolution]
-    arch["attention"] = [r == 64 for r in arch["resolution"]]
+    attn_res = {int(a) for a in str(attention).split("_")}
+    arch["attention"] = [r in attn_res for r in arch["resolution"]]
     return arch
 
 
@@ -342,10 +362,11 @@ class BigGANDiscriminator:
     resolution: int = 128
     ch: int = 96
     n_classes: int = 1000
+    attention: str = "64"  # D_attn spec, e.g. "32_64"
 
     @property
     def arch(self) -> dict:
-        return biggan_d_arch(self.ch, self.resolution)
+        return biggan_d_arch(self.ch, self.resolution, self.attention)
 
     def init(self, key: jax.Array) -> dict:
         arch = self.arch
