@@ -83,3 +83,45 @@ def test_biggan_pipeline(pipeline_env):
     res = osp.join(exp, "results", "p2", "2_0.2_0.4")
     frames = os.listdir(osp.join(res, hashes[0], "paths_images", "path_000"))
     assert len(frames) == 3
+
+
+def test_orbax_pipeline_checkpoint2model(tmp_path, monkeypatch):
+    """train --checkpoint-backend orbax -> checkpoint2model splits the newest
+    orbax step into reference-format .pt files -> traversal's checkpoint
+    fallback consumes them (full cross-stage contract without checkpoint.pt)."""
+    pytest.importorskip("orbax.checkpoint")
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+    import os
+
+    from warpedganspace_tpu.cli import (
+        checkpoint2model,
+        sample_gan,
+        train,
+        traverse_latent_space,
+    )
+
+    sample_gan.main(["-g", "SNGAN_MNIST", "--num-samples", "1", "--pool", "ox", "--seed", "4"])
+    train.main([
+        "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+        "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+        "--max-shift-magnitude", "0.25", "--max-iter", "4", "--batch-size", "2",
+        "--log-freq", "2", "--ckp-freq", "2", "--checkpoint-backend", "orbax",
+    ])
+    wip = osp.join("experiments", "wip", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+    assert not osp.isfile(osp.join(wip, "models", "checkpoint.pt"))
+    checkpoint2model.main(["--exp", wip])
+    assert osp.isfile(osp.join(wip, "models", "support_sets-4.pt"))
+    assert osp.isfile(osp.join(wip, "models", "reconstructor-4.pt"))
+
+    # Traversal falls back to the split checkpoint when no final exists.
+    complete = osp.join("experiments", "complete", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+    os.remove(osp.join(complete, "models", "support_sets.pt"))
+    os.remove(osp.join(wip, "models", "support_sets.pt"))
+    # point traversal at wip (it has the split checkpoints + args.json)
+    traverse_latent_space.main([
+        "--exp", wip, "--pool", "ox", "--shift-steps", "2", "--eps", "0.2",
+    ])
+    res = osp.join(wip, "results", "ox", "4_0.2_0.8")
+    h = [d for d in os.listdir(res) if osp.isdir(osp.join(res, d))][0]
+    assert osp.isfile(osp.join(res, h, "paths_latent_codes.pt"))

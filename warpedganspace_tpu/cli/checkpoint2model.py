@@ -31,6 +31,8 @@ def main(argv=None):
         raise NotADirectoryError("Invalid models directory: {}".format(models_dir))
     checkpoint_file = osp.join(models_dir, "checkpoint.pt")
     if not osp.isfile(checkpoint_file):
+        if osp.isdir(osp.join(models_dir, "orbax")):
+            return _split_orbax(args.exp, models_dir)
         raise FileNotFoundError("Checkpoint file not found: {}".format(checkpoint_file))
 
     print("#. Convert checkpoint file into support sets and reconstructor weight files...")
@@ -41,6 +43,45 @@ def main(argv=None):
     save_pt(ckpt["support_sets"], osp.join(models_dir, "support_sets-{}.pt".format(it)))
     print("  \\__Save checkpoint reconstructor weights file...")
     save_pt(ckpt["reconstructor"], osp.join(models_dir, "reconstructor-{}.pt".format(it)))
+
+
+def _split_orbax(exp_dir: str, models_dir: str):
+    """Split the newest orbax step (train.py --checkpoint-backend orbax) into
+    the same reference-format support_sets-<it>.pt / reconstructor-<it>.pt."""
+    import json
+
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from warpedganspace_tpu.convert import (
+        lenet_reconstructor_to_state_dict,
+        resnet_reconstructor_to_state_dict,
+    )
+
+    with open(osp.join(exp_dir, "args.json")) as f:
+        rtype = json.load(f)["reconstructor_type"]
+    mgr = ocp.CheckpointManager(osp.abspath(osp.join(models_dir, "orbax")))
+    it = mgr.latest_step()
+    if it is None:
+        raise FileNotFoundError("No completed orbax step under {}".format(models_dir))
+    state = mgr.restore(it)
+    print("#. Convert orbax checkpoint into support sets and reconstructor weight files...")
+    print("  \\__Checkpoint iteration: {}".format(it))
+    sp = state["s_params"]
+    k = np.asarray(sp["support_sets"]).shape[0]
+    print("  \\__Save checkpoint support sets weights file...")
+    save_pt(
+        {
+            "SUPPORT_SETS": np.asarray(sp["support_sets"]).reshape(k, -1),
+            "ALPHAS": np.asarray(sp["alphas"]),
+            "LOGGAMMA": np.asarray(sp["loggamma"]),
+        },
+        osp.join(models_dir, "support_sets-{}.pt".format(it)),
+    )
+    print("  \\__Save checkpoint reconstructor weights file...")
+    to_sd = (lenet_reconstructor_to_state_dict if rtype == "LeNet"
+             else resnet_reconstructor_to_state_dict)
+    save_pt(to_sd(state["r_params"]), osp.join(models_dir, "reconstructor-{}.pt".format(it)))
 
 
 if __name__ == "__main__":
