@@ -159,3 +159,35 @@ def test_resnet_state_dict_roundtrip():
     for a, b in zip(l1, l2):
         if a.dtype == jnp.float32:
             np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_resnet_bf16_close_to_f32():
+    """Mixed-precision apply (bf16 conv trunk) tracks the f32 forward; the
+    params pytree and BN running stats stay float32."""
+    r = Reconstructor("ResNet", dim=8, channels=3)
+    params = r.init(jax.random.key(3))
+    x1 = jax.random.normal(jax.random.key(4), (4, 64, 64, 3))
+    x2 = x1 + 0.1 * jax.random.normal(jax.random.key(5), (4, 64, 64, 3))
+
+    lo32, m32, new32 = r.apply(params, x1, x2, train=True)
+    lo16, m16, new16 = r.apply(params, x1, x2, train=True, dtype=jnp.bfloat16)
+
+    assert lo16.dtype == jnp.float32 and m16.dtype == jnp.float32
+    for leaf in jax.tree_util.tree_leaves(new16):
+        assert leaf.dtype == jnp.float32
+    scale = float(jnp.abs(lo32).max())
+    np.testing.assert_allclose(lo16, lo32, atol=0.05 * scale)
+    np.testing.assert_allclose(
+        new16["bn1"]["mean"], new32["bn1"]["mean"], rtol=0.05, atol=1e-3
+    )
+
+    # Gradients flow and come back float32.
+    def loss(p):
+        lo, m, _ = r.apply(p, x1, x2, train=True, dtype=jnp.bfloat16)
+        return jnp.mean(lo**2) + jnp.mean(m**2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    gnorm = sum(float(jnp.abs(l).sum()) for l in leaves)
+    assert np.isfinite(gnorm) and gnorm > 0

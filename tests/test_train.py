@@ -270,3 +270,24 @@ def test_tensorboard_scalars_written(tmp_path, monkeypatch):
     exp = osp.join("experiments", "complete", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
     events = glob.glob(osp.join(exp, "tensorboard", "events.out.tfevents.*"))
     assert events, "no TensorBoard event files written"
+
+
+def test_train_step_bf16_reconstructor_learns():
+    """--r-dtype bfloat16: the step runs, S/R still learn, metrics are f32."""
+    G, S, R, cfg = _tiny_setup()
+    cfg = TrainStepConfig(**{
+        **cfg.__dict__,
+        "reconstructor_dtype": "bfloat16",
+        "support_set_lr": 3e-3,
+        "reconstructor_lr": 3e-3,
+    })
+    key = jax.random.key(7)
+    state = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg)
+    losses = []
+    for _ in range(40):
+        state, metrics = step(state, G.params, key, 1)
+        losses.append(float(metrics["total_loss"]))
+    assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+    for leaf in jax.tree_util.tree_leaves(state["r_params"]):
+        assert leaf.dtype == jnp.float32

@@ -99,8 +99,13 @@ def build_parser():
                         help="capture a jax.profiler trace of the training loop")
     parser.add_argument("--g-dtype", type=str, default="float32",
                         choices=("float32", "bfloat16"),
-                        help="generator compute dtype during training (the warp, "
-                             "reconstructor and loss always run float32)")
+                        help="generator compute dtype during training (the warp "
+                             "and loss always run float32)")
+    parser.add_argument("--r-dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="reconstructor compute dtype during training: "
+                             "bfloat16 runs R's conv trunk in bf16 (float32 "
+                             "master params, BN statistics and heads)")
     parser.set_defaults(cuda=True)
     return parser
 

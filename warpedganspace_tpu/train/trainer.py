@@ -266,6 +266,7 @@ class Trainer:
             z_truncation=getattr(p, "z_truncation", None),
             shift_in_w_space=bool(getattr(p, "shift_in_w_space", False)),
             generator_dtype=getattr(p, "g_dtype", "float32"),
+            reconstructor_dtype=getattr(p, "r_dtype", "float32"),
         )
 
         seed_key = jax.random.key(self.seed)
