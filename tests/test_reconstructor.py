@@ -191,3 +191,39 @@ def test_resnet_bf16_close_to_f32():
     assert all(l.dtype == jnp.float32 for l in leaves)
     gnorm = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_resnet_pair_s2d_exact():
+    """apply_pair_s2d on S2D-layout inputs == apply on NHWC inputs — exact
+    modulo float reassociation (same params pytree; grads match too)."""
+    from warpedganspace_tpu.ops import s2d as s2dops
+
+    r = Reconstructor("ResNet", dim=8, channels=3)
+    params = r.init(jax.random.key(6))
+    x1 = jax.random.normal(jax.random.key(7), (2, 64, 64, 3))
+    x2 = x1 + 0.1 * jax.random.normal(jax.random.key(8), (2, 64, 64, 3))
+    s1, s2 = s2dops.to_s2d(x1), s2dops.to_s2d(x2)
+
+    lo_a, m_a, new_a = r.apply(params, x1, x2, train=True)
+    lo_b, m_b, new_b = r.apply_pair_s2d(params, s1, s2, train=True)
+    np.testing.assert_allclose(lo_b, lo_a, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(m_b, m_a, rtol=1e-4, atol=1e-4)
+    for la, lb in zip(jax.tree_util.tree_leaves(new_a), jax.tree_util.tree_leaves(new_b)):
+        np.testing.assert_allclose(lb, la, rtol=1e-4, atol=1e-5)
+
+    def loss(fn):
+        def f(p):
+            lo, m, _ = fn(p)
+            return jnp.mean(lo**2) + jnp.mean(m**2)
+        return f
+
+    ga = jax.grad(loss(lambda p: r.apply(p, x1, x2, train=True)))(params)
+    gb = jax.grad(loss(lambda p: r.apply_pair_s2d(p, s1, s2, train=True)))(params)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(lb, la, rtol=5e-3, atol=1e-5)
+
+    # bf16 variant runs and returns f32 outputs/params.
+    lo, m, new_p = r.apply_pair_s2d(params, s1, s2, train=True, dtype=jnp.bfloat16)
+    assert lo.dtype == jnp.float32 and np.isfinite(float(lo.sum()))
+    for leaf in jax.tree_util.tree_leaves(new_p):
+        assert leaf.dtype == jnp.float32

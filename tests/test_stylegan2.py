@@ -294,3 +294,20 @@ def test_remat_policies_same_output():
 
     g_tail, g_off = loss(gens["tail"]), loss(gens[False])
     np.testing.assert_allclose(np.asarray(g_tail), np.asarray(g_off), rtol=1e-4, atol=1e-5)
+
+
+def test_out_layout_s2d_matches_nhwc():
+    """apply(out_layout='s2d') is exactly to_s2d(apply()) — with the S2D tail
+    it skips the final from_s2d; with other tails it pays one transpose."""
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+    from warpedganspace_tpu.ops.s2d import to_s2d
+
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    for tail in ("s2d", "nhwc"):
+        gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1,
+                                 tail_layout=tail)
+        params = gen.init(jax.random.key(0))
+        a = gen.apply(params, z)
+        b = gen.apply(params, z, out_layout="s2d")
+        assert b.shape == (2, 128, 128, 12)
+        np.testing.assert_allclose(b, to_s2d(a), atol=1e-6)

@@ -291,3 +291,42 @@ def test_train_step_bf16_reconstructor_learns():
     assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
     for leaf in jax.tree_util.tree_leaves(state["r_params"]):
         assert leaf.dtype == jnp.float32
+
+
+def test_train_step_pair_s2d_matches_nhwc():
+    """pair_layout='s2d' (G hands R the S2D tail tensor directly) produces the
+    same step as the NHWC handoff — metrics and updated params match."""
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1,
+                             shift_in_w_space=True)
+    g_params = gen.init(jax.random.key(0))
+    G = GeneratorBundle(
+        name="StyleGAN2", dim_z=512, resolution=256, out_channels=3,
+        params=g_params, apply_fn=gen.apply, get_w_fn=gen.get_w,
+        shift_in_w_space=True, supports_s2d_out=True,
+    )
+    S = SupportSets(num_support_sets=4, num_support_dipoles=2, support_vectors_dim=512)
+    R = Reconstructor("ResNet", dim=4, channels=3)
+    base = dict(batch_size=2, num_support_sets=4, min_shift_magnitude=0.1,
+                max_shift_magnitude=0.2, shift_in_w_space=True)
+    key = jax.random.key(5)
+
+    results = {}
+    for layout in ("nhwc", "s2d"):
+        cfg = TrainStepConfig(**base, pair_layout=layout)
+        state = init_train_state(key, G, S, R, cfg)
+        step = make_train_step(G, S, R, cfg, donate=False)
+        new_state, metrics = step(state, G.params, key, 1)
+        results[layout] = (new_state, metrics)
+
+    m_a, m_b = results["nhwc"][1], results["s2d"][1]
+    for k in m_a:
+        np.testing.assert_allclose(float(m_b[k]), float(m_a[k]), rtol=1e-4, atol=1e-5)
+    # Adam normalizes near-zero grads to ~sign(g)*lr, so float-reassociation
+    # jitter can flip a handful of tiny elements by up to ~2*lr; bound the
+    # params absolutely (metrics above already pin the math at rtol 1e-4).
+    la = jax.tree_util.tree_leaves(results["nhwc"][0]["s_params"])
+    lb = jax.tree_util.tree_leaves(results["s2d"][0]["s_params"])
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(b, a, rtol=0, atol=5e-4)

@@ -34,6 +34,9 @@ class GeneratorBundle:
     get_w_fn: Callable | None = None
     # StyleGAN2: directions live in W-space when True (models/gan_load.py:145-155).
     shift_in_w_space: bool = False
+    # apply accepts out_layout="s2d" (S2D-layout images; the 1024² generators'
+    # native tail layout) — lets the train step skip the G->R layout transposes.
+    supports_s2d_out: bool = False
 
     @property
     def dim_w(self) -> int:

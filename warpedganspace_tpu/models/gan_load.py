@@ -78,6 +78,7 @@ def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = 
         out_channels=3,
         params=params,
         apply_fn=gen.apply,
+        supports_s2d_out=True,
     )
 
 
@@ -109,6 +110,7 @@ def build_stylegan2(
         apply_fn=gen.apply,
         get_w_fn=gen.get_w,
         shift_in_w_space=shift_in_w_space,
+        supports_s2d_out=True,
     )
 
 

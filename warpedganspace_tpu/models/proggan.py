@@ -61,15 +61,22 @@ class ProgGANGenerator:
         }
         return {"blocks": blocks, "out": out}
 
-    def apply(self, params: dict, z: jax.Array, shift: jax.Array | None = None):
+    def apply(self, params: dict, z: jax.Array, shift: jax.Array | None = None,
+              out_layout: str = "nhwc"):
         """G(z + shift) -> (B, 1024, 1024, 3) images.
 
         Parity: ProgGANWrapper.forward reshapes z to (B, 512, 1, 1)
         (models/gan_load.py:109-120) and runs the Sequential (model.py:86-95).
+
+        ``out_layout='s2d'`` returns the S2D-layout image (B, 512, 512, 12) —
+        free with the S2D tail (skips the final ``from_s2d``); consumed by
+        ``Reconstructor.apply_pair_s2d`` in the training step.
         """
         if self.tail_layout not in ("s2d", "nhwc"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r} "
                              "(ProgGAN supports 's2d' and 'nhwc')")
+        if out_layout not in ("nhwc", "s2d"):
+            raise ValueError(f"unknown out_layout {out_layout!r}")
         if shift is not None:
             z = z + shift
         x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed
@@ -121,8 +128,8 @@ class ProgGANGenerator:
                              dilated=False)
             x = x * params["out"]["wscale_scale"] + jnp.tile(
                 params["out"]["wscale_bias"], 4)
-            return s2d.from_s2d(x)
+            return x if out_layout == "s2d" else s2d.from_s2d(x)
         x = nn.pixel_norm(x)
         x = nn.conv2d(params["out"]["conv"], x, padding=0)
         x = x * params["out"]["wscale_scale"] + params["out"]["wscale_bias"]
-        return x
+        return s2d.to_s2d(x) if out_layout == "s2d" else x

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from warpedganspace_tpu.nn import core as nn
+from warpedganspace_tpu.ops import s2d as s2dops
 
 
 def _cast(p: dict, dtype) -> dict:
@@ -193,9 +194,41 @@ class Reconstructor:
             return logits, mags, out_p
         return logits, mags
 
+    def apply_pair_s2d(self, params: dict, x1: jax.Array, x2: jax.Array,
+                       train: bool = False, dtype=None):
+        """ResNet apply taking the image pair in S2D layout (B, H/2, W/2, 4C)
+        — the 1024² generator tails' native layout (``to_s2d`` channel order).
+
+        Skips both layout conversions at the G->R boundary of the train step:
+        the generator's final ``from_s2d`` and the stem's implicit re-tiling
+        (both are ~8 ms transposes at bs12 1024² bf16 — 20x off the copy
+        roofline, the minor dim is 3-12 elements). conv1 is re-derived as an
+        exact 4x4 stride-1 conv on the S2D grid with a lane-dense contraction
+        (ops/s2d.py::stem_conv_s2d_pair_kernel); everything from bn1 on is the
+        standard trunk. Same params pytree; bit-exact modulo float reassoc.
+        """
+        assert self.reconstructor_type == "ResNet", "S2D pair input is ResNet-only"
+        p = params
+        x = jnp.concatenate([x1, x2], axis=-1)
+        if dtype is not None:
+            x = x.astype(dtype)
+        out_p = dict(p)
+        w1 = p["conv1"]["w"]
+        if dtype is not None:
+            w1 = w1.astype(dtype)
+        k1 = s2dops.stem_conv_s2d_pair_kernel(w1, num_images=2)
+        y = lax.conv_general_dilated(
+            x, k1, window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return self._resnet_tail(p, out_p, y, train, dtype)
+
     def _apply_resnet(self, p: dict, x, train: bool, dtype=None):
         out_p = dict(p)
         y = nn.conv2d(_cast(p["conv1"], dtype), x, stride=2, padding=3)
+        return self._resnet_tail(p, out_p, y, train, dtype)
+
+    def _resnet_tail(self, p: dict, out_p: dict, y, train: bool, dtype=None):
+        """bn1 -> maxpool -> layer1..4 -> pooled heads (shared by both stems)."""
         y = jax.nn.relu(_bn(p, out_p, "bn1", y, train))
         y = lax.reduce_window(
             y,

@@ -465,10 +465,19 @@ class StyleGAN2Generator:
         noise=None,
         randomize_noise: bool = False,
         noise_key=None,
+        out_layout: str = "nhwc",
     ) -> jax.Array:
-        """Run the synthesis network on per-layer W latents (B, n_latent, 512)."""
+        """Run the synthesis network on per-layer W latents (B, n_latent, 512).
+
+        ``out_layout='s2d'`` returns the image in S2D layout (B, H/2, W/2, 12)
+        — free when the tail already runs S2D (skips the final ``from_s2d``
+        transpose); the training step hands this straight to the
+        reconstructor's S2D stem (``Reconstructor.apply_pair_s2d``).
+        """
         if self.tail_layout not in ("s2d", "nchw", "nhwc"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r}")
+        if out_layout not in ("nhwc", "s2d"):
+            raise ValueError(f"unknown out_layout {out_layout!r}")
         if self.remat not in (True, False, "tail"):
             raise ValueError(f"unknown remat policy {self.remat!r}")
         b = latent.shape[0]
@@ -545,7 +554,13 @@ class StyleGAN2Generator:
         if fmt == "NCHW":
             skip = jnp.transpose(skip, (0, 2, 3, 1))
         elif fmt == "S2D":
+            if out_layout == "s2d":
+                return skip
             skip = s2d_ops.from_s2d(skip)
+        if out_layout == "s2d":
+            # Tail never entered S2D (small resolutions / nchw layout): pay
+            # one transpose so the contract holds everywhere.
+            skip = s2d_ops.to_s2d(skip)
         return skip
 
     def forward(
@@ -558,6 +573,7 @@ class StyleGAN2Generator:
         truncation_latent=None,
         noise=None,
         randomize_noise: bool = False,
+        out_layout: str = "nhwc",
     ) -> jax.Array:
         """Full forward with style mixing / truncation (reference :359-403).
 
@@ -580,7 +596,8 @@ class StyleGAN2Generator:
             l2 = jnp.repeat(styles[1][:, None, :], self.n_latent - inject_index, axis=1)
             latent = jnp.concatenate([l1, l2], axis=1)
         return self.synthesis(
-            params, latent, noise=noise, randomize_noise=randomize_noise
+            params, latent, noise=noise, randomize_noise=randomize_noise,
+            out_layout=out_layout,
         )
 
     # -------------------------------------------------------- uniform G contract
@@ -592,7 +609,8 @@ class StyleGAN2Generator:
             for i in range(self.num_layers)
         ]
 
-    def apply(self, params: dict, z: jax.Array, shift=None, latent_is_w: bool = False):
+    def apply(self, params: dict, z: jax.Array, shift=None, latent_is_w: bool = False,
+              out_layout: str = "nhwc"):
         """Uniform wrapper contract (reference StyleGAN2Wrapper.forward,
         models/gan_load.py:157-179): shifts live in W-space when
         ``shift_in_w_space``, else in Z-space."""
@@ -600,10 +618,12 @@ class StyleGAN2Generator:
             w = z if latent_is_w else self.style(params, z)
             if shift is not None:
                 w = w + shift
-            return self.forward(params, [w], input_is_latent=True)
+            return self.forward(params, [w], input_is_latent=True,
+                                out_layout=out_layout)
         if shift is not None:
             z = z + shift
-        return self.forward(params, [z], input_is_latent=False)
+        return self.forward(params, [z], input_is_latent=False,
+                            out_layout=out_layout)
 
 
 # =========================================================================== #

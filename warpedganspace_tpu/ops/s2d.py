@@ -135,6 +135,38 @@ def nearest_up_conv_s2d_kernel(w: jax.Array) -> jax.Array:
     )
 
 
+def stem_conv_s2d_pair_kernel(w: jax.Array, num_images: int = 2) -> jax.Array:
+    """7x7 stride-2 pad-3 stem conv (ResNet conv1) re-derived for an input
+    that is a channel-concat of ``num_images`` S2D tensors.
+
+    Full-grid: out[p] = sum_o w[o] x[2p + o - 3]; with x stored S2D
+    (x2[u, e] = x[2u + e]) each tap lands at o - 3 = 2U + e, U in [-2, 1] —
+    a 4x4 stride-1 conv on the half grid with padding ((2, 1), (2, 1)).
+
+    Input channel layout: [image i][phase e][true channel c] (i.e. the concat
+    of per-image ``to_s2d`` outputs), c_i = w.shape[2] // num_images channels
+    per image. Exact; contraction depth 16*4*c_i*num_images is lane-dense,
+    vs the 7x7 form whose c=2*c_i contraction XLA pads to the 128 lanes
+    (measured ~2x on the conv at c_i=3, 1024^2, bs12, bf16).
+    """
+    kh, kw_, cf, co = w.shape
+    assert (kh, kw_) == (7, 7), "derived for the 7x7 stride-2 ResNet stem"
+    assert cf % num_images == 0
+    ci = cf // num_images
+    k = jnp.zeros((4, 4, 4 * cf, co), dtype=w.dtype)
+    for oy in range(7):
+        for ox in range(7):
+            ey, ex = (oy - 3) % 2, (ox - 3) % 2
+            uy, ux = (oy - 3 - ey) // 2, (ox - 3 - ex) // 2
+            e = ey * 2 + ex
+            for i in range(num_images):
+                off = i * 4 * ci + e * ci
+                k = k.at[uy + 2, ux + 2, off : off + ci, :].add(
+                    w[oy, ox, i * ci : (i + 1) * ci]
+                )
+    return k
+
+
 def s2d_conv(x: jax.Array, k: jax.Array, dilated: bool) -> jax.Array:
     """Apply an S2D kernel: plain pad-1 conv, or lhs-dilated grid-doubling conv."""
     if dilated:

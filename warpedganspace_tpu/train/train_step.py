@@ -55,6 +55,10 @@ class TrainStepConfig:
     # bf16 with float32 master params, BN statistics and heads — R at 1024^2
     # is bandwidth-bound, measured 110 -> 70 ms fwd+bwd at bs12 on v5e.
     reconstructor_dtype: str = "float32"
+    # G->R image handoff layout: "s2d" keeps the pair in the generator tail's
+    # native S2D layout (skips G's from_s2d and feeds R's re-derived S2D stem
+    # — exact; requires G.supports_s2d_out and a ResNet reconstructor).
+    pair_layout: str = "nhwc"
 
 
 def _bn_stat_mask(params):
@@ -120,18 +124,32 @@ def make_train_step(
     g_bf16 = cfg.generator_dtype == "bfloat16"
     g_dtype = jnp.bfloat16 if g_bf16 else jnp.float32
     r_dtype = jnp.bfloat16 if cfg.reconstructor_dtype == "bfloat16" else None
+    s2d_pair = cfg.pair_layout == "s2d"
+    if s2d_pair and not G.supports_s2d_out:
+        raise ValueError(
+            f"pair_layout='s2d' needs a generator with supports_s2d_out ({G.name})"
+        )
+    g_kwargs = {"out_layout": "s2d"} if s2d_pair else {}
+
+    def for_r(img):
+        # R casts its input to r_dtype anyway; skip the f32 round-trip when
+        # the generator already produced that dtype.
+        if r_dtype is not None and img.dtype == r_dtype:
+            return img
+        return img.astype(jnp.float32)
 
     def loss_fn(s_params, r_params, g_params, z, idx, mags):
         z_g = z.astype(g_dtype)
-        img = G.apply(g_params, z_g).astype(jnp.float32)
+        img = for_r(G.apply(g_params, z_g, **g_kwargs))
         latent = (
             G.get_w(g_params, z_g).astype(jnp.float32)
             if cfg.shift_in_w_space else z
         )
         direction = S.direction(s_params, latent, idx)
         shift = mags[:, None] * direction
-        img_shifted = G.apply(g_params, z_g, shift.astype(g_dtype)).astype(jnp.float32)
-        logits, mag_hat, new_r_params = R.apply(
+        img_shifted = for_r(G.apply(g_params, z_g, shift.astype(g_dtype), **g_kwargs))
+        apply_r = R.apply_pair_s2d if s2d_pair else R.apply
+        logits, mag_hat, new_r_params = apply_r(
             r_params, img, img_shifted, train=True, dtype=r_dtype
         )
         cls_loss = jnp.mean(

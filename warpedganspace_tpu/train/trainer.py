@@ -254,6 +254,14 @@ class Trainer:
             reconstructor: Reconstructor config.
         """
         p = self.params
+        pair_layout = getattr(p, "pair_layout", "nhwc")
+        if pair_layout == "s2d" and not (
+            generator.supports_s2d_out
+            and reconstructor.reconstructor_type == "ResNet"
+        ):
+            print("  \\__pair-layout s2d unavailable for this G/R combination "
+                  "-- falling back to nhwc")
+            pair_layout = "nhwc"
         cfg = TrainStepConfig(
             batch_size=p.batch_size,
             num_support_sets=p.num_support_sets,
@@ -267,6 +275,7 @@ class Trainer:
             shift_in_w_space=bool(getattr(p, "shift_in_w_space", False)),
             generator_dtype=getattr(p, "g_dtype", "float32"),
             reconstructor_dtype=getattr(p, "r_dtype", "float32"),
+            pair_layout=pair_layout,
         )
 
         seed_key = jax.random.key(self.seed)
