@@ -73,17 +73,21 @@ log(f"render bf16: {t * 1e3:.1f} ms/batch -> {B / t:.1f} img/s, "
     f"{fl / t / 1e12:.1f} TFLOP/s = {100 * fl / t / V5E_PEAK_BF16:.1f}% of bf16 peak")
 
 # ---------------- train step (north-star: 1024 W-space, bs=12, bf16-G) ------
-gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True, remat=True)
+gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True, remat="tail")
 G = GeneratorBundle(
     name="StyleGAN2", dim_z=512, resolution=1024, out_channels=3,
-    params=params, apply_fn=gen_t.apply, get_w_fn=gen_t.get_w, shift_in_w_space=True)
+    params=params, apply_fn=gen_t.apply, get_w_fn=gen_t.get_w, shift_in_w_space=True,
+    supports_s2d_out=True)
 S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                 support_vectors_dim=512, learn_gammas=True)
 R = Reconstructor("ResNet", dim=200, channels=3)
+# The production launcher flags: tail remat, bf16 G + R, S2D pair handoff.
 cfg = TrainStepConfig(batch_size=12, num_support_sets=200,
                       min_shift_magnitude=0.1, max_shift_magnitude=0.2,
                       z_truncation=0.7, shift_in_w_space=True,
-                      generator_dtype="bfloat16")
+                      generator_dtype="bfloat16",
+                      reconstructor_dtype="bfloat16",
+                      pair_layout="s2d")
 key = jax.random.key(0)
 state = jax.jit(lambda k: init_train_state(k, G, S, R, cfg))(key)
 step = make_train_step(G, S, R, cfg, donate=False)
@@ -102,15 +106,16 @@ p_bf = jax.tree_util.tree_map(
     lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, G.params)
 bzb = bz.astype(jnp.bfloat16)
 
-g_fwd = jax.jit(lambda p, z: G.apply(p, z))
+g_fwd = jax.jit(lambda p, z: G.apply(p, z, out_layout="s2d"))
 t_gfwd = timed(g_fwd, (p_bf, bzb), reps=10)
 log(f"  G fwd (bs12 bf16, remat graph): {t_gfwd * 1e3:.0f} ms")
 
-imgs = jnp.zeros((12, 1024, 1024, 3), jnp.float32)
+imgs = jnp.zeros((12, 512, 512, 12), jnp.bfloat16)
 r_params = state["r_params"]
-r_fwd = jax.jit(lambda rp, a, b: R.apply(rp, a, b, train=True)[0])
+r_fwd = jax.jit(lambda rp, a, b: R.apply_pair_s2d(rp, a, b, train=True,
+                                                  dtype=jnp.bfloat16)[0])
 t_r = timed(r_fwd, (r_params, imgs, imgs), reps=10)
-log(f"  R fwd (ResNet18, 1024^2 pairs, train-mode BN): {t_r * 1e3:.0f} ms")
+log(f"  R fwd (ResNet18, S2D pairs, bf16, train-mode BN): {t_r * 1e3:.0f} ms")
 
 s_params = state["s_params"]
 idx = jnp.zeros((12,), jnp.int32)
@@ -123,11 +128,11 @@ import optax  # noqa: E402
 
 def loss_fwd(sp, rp, gp, z, i, m):
     zg = z.astype(jnp.bfloat16)
-    img = G.apply(gp, zg).astype(jnp.float32)
+    img = G.apply(gp, zg, out_layout="s2d")
     lat = G.get_w(gp, zg).astype(jnp.float32)
     d = S.direction(sp, lat, i)
-    img2 = G.apply(gp, zg, (m[:, None] * d).astype(jnp.bfloat16)).astype(jnp.float32)
-    logits, mh, _ = R.apply(rp, img, img2, train=True)
+    img2 = G.apply(gp, zg, (m[:, None] * d).astype(jnp.bfloat16), out_layout="s2d")
+    logits, mh, _ = R.apply_pair_s2d(rp, img, img2, train=True, dtype=jnp.bfloat16)
     return (jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits, i))
             + 0.25 * jnp.mean(jnp.abs(mh - m)))
 
