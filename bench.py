@@ -211,6 +211,45 @@ def _measure_tpu():
         state, m = step(state, G.params, key, it)
     sync(m["total_loss"])
     train_steps_per_sec = reps / (time.perf_counter() - t0)
+    log(f"SNGAN-MNIST train: {train_steps_per_sec:.1f} steps/s")
+
+    # --- flagship train step (StyleGAN2-1024 W-space, bs=12, the production
+    # launcher flags: tail remat + bf16 G/R + S2D pair handoff) -------------
+    try:
+        gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True,
+                                   remat="tail")
+        GT = GeneratorBundle(name="StyleGAN2", dim_z=512, resolution=1024,
+                             out_channels=3, params=params, apply_fn=gen_t.apply,
+                             get_w_fn=gen_t.get_w, shift_in_w_space=True,
+                             supports_s2d_out=True)
+        ST = SupportSets(num_support_sets=200, num_support_dipoles=512,
+                         support_vectors_dim=512, learn_gammas=True)
+        RT = Reconstructor("ResNet", dim=200, channels=3)
+        cfgT = TrainStepConfig(batch_size=12, num_support_sets=200,
+                               min_shift_magnitude=0.1, max_shift_magnitude=0.2,
+                               z_truncation=0.7, shift_in_w_space=True,
+                               generator_dtype="bfloat16",
+                               reconstructor_dtype="bfloat16",
+                               pair_layout="s2d")
+        stateT = jax.jit(lambda k: init_train_state(k, GT, ST, RT, cfgT))(key)
+        stepT = make_train_step(GT, ST, RT, cfgT, donate=False)
+        log("compiling flagship train step...")
+        stateT, mT = stepT(stateT, GT.params, key, 1)
+        sync(mT["total_loss"])
+        repsT = 10
+        flagship_steps_per_sec = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            for it in range(2, 2 + repsT):
+                stateT, mT = stepT(stateT, GT.params, key, it)
+            sync(mT["total_loss"])
+            flagship_steps_per_sec = max(
+                flagship_steps_per_sec, repsT / (time.perf_counter() - t0))
+        log(f"StyleGAN2-1024 train (production flags): "
+            f"{flagship_steps_per_sec:.2f} steps/s")
+    except Exception as e:
+        log(f"flagship train step failed: {e}")
+        flagship_steps_per_sec = 0.0
 
     return {
         "stylegan2_1024_traversal_images_per_sec": images_per_sec,
@@ -220,6 +259,7 @@ def _measure_tpu():
         "warp_grad_evals_per_sec_jnp": warp_evals_per_sec,
         "warp_grad_evals_per_sec_pallas": pallas_evals_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
+        "stylegan2_1024_train_steps_per_sec_bs12": flagship_steps_per_sec,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
     }
@@ -249,10 +289,16 @@ def _measure_cli_e2e(raw_render_rate):
     def log(msg):
         print(f"[bench-cli] {msg}", file=sys.stderr, flush=True)
 
+    import contextlib
+
     os.environ.setdefault("WGS_ALLOW_RANDOM_G", "1")
     tmp = tempfile.mkdtemp(prefix="wgs_bench_cli_")
     cwd = os.getcwd()
     os.chdir(tmp)
+    # The CLI stages print progress to stdout; keep stdout clean for the
+    # single-JSON-line driver contract.
+    stack = contextlib.ExitStack()
+    stack.enter_context(contextlib.redirect_stdout(sys.stderr))
     try:
         from warpedganspace_tpu.cli import sample_gan, traverse_latent_space
         from warpedganspace_tpu.models.gan_load import build_gan
@@ -336,6 +382,7 @@ def _measure_cli_e2e(raw_render_rate):
             "host_cpu_cores": os.cpu_count(),
         }
     finally:
+        stack.close()
         os.chdir(cwd)
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -125,3 +125,33 @@ def test_orbax_pipeline_checkpoint2model(tmp_path, monkeypatch):
     res = osp.join(wip, "results", "ox", "4_0.2_0.8")
     h = [d for d in os.listdir(res) if osp.isdir(osp.join(res, d))][0]
     assert osp.isfile(osp.join(res, h, "paths_latent_codes.pt"))
+
+
+def test_stylegan2_production_flags_cli(pipeline_env):
+    """The 1024^2 launcher flag set (--remat tail --g-dtype/--r-dtype bfloat16
+    --pair-layout s2d) through the real train CLI (tiny 256^2 ResNet config):
+    runs, records the flags in args.json, and produces finite stats."""
+    import json
+
+    from warpedganspace_tpu.cli import train
+
+    train.main([
+        "--gan-type", "StyleGAN2", "--stylegan2-resolution", "256",
+        "--shift-in-w-space", "--z-truncation", "0.7",
+        "--reconstructor-type", "ResNet",
+        "-K", "2", "-D", "2", "--learn-gammas",
+        "--min-shift-magnitude", "0.1", "--max-shift-magnitude", "0.2",
+        "--max-iter", "2", "--batch-size", "2", "--log-freq", "2",
+        "--ckp-freq", "2", "--remat", "tail",
+        "--g-dtype", "bfloat16", "--r-dtype", "bfloat16",
+        "--pair-layout", "s2d",
+    ])
+    exp = ("experiments/complete/StyleGAN2-256-W-ResNet-K2-D2-LearnGammas-"
+           "eps0.1_0.2")
+    with open(osp.join(exp, "args.json")) as f:
+        args = json.load(f)
+    assert args["pair_layout"] == "s2d"
+    assert args["r_dtype"] == "bfloat16"
+    with open(osp.join(exp, "stats.json")) as f:
+        stats = json.load(f)
+    assert all(np.isfinite(v) for v in stats["2"].values())

@@ -106,12 +106,14 @@ def build_parser():
                         help="reconstructor compute dtype during training: "
                              "bfloat16 runs R's conv trunk in bf16 (float32 "
                              "master params, BN statistics and heads)")
-    parser.add_argument("--pair-layout", type=str, default="nhwc",
-                        choices=("nhwc", "s2d"),
+    parser.add_argument("--pair-layout", type=str, default="auto",
+                        choices=("auto", "nhwc", "s2d"),
                         help="G->R image handoff layout inside the train step: "
                              "'s2d' keeps the pair in the generator tail's "
                              "native space-to-depth layout (exact; skips two "
-                             "layout transposes; 1024^2 GANs + ResNet R only)")
+                             "layout transposes; 1024^2 GANs + ResNet R only). "
+                             "'auto' (default) = s2d whenever the G/R pair "
+                             "supports it")
     parser.set_defaults(cuda=True)
     return parser
 

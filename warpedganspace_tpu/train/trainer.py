@@ -254,11 +254,12 @@ class Trainer:
             reconstructor: Reconstructor config.
         """
         p = self.params
-        pair_layout = getattr(p, "pair_layout", "nhwc")
-        if pair_layout == "s2d" and not (
-            generator.supports_s2d_out
-            and reconstructor.reconstructor_type == "ResNet"
-        ):
+        pair_layout = getattr(p, "pair_layout", "auto")
+        s2d_ok = (generator.supports_s2d_out
+                  and reconstructor.reconstructor_type == "ResNet")
+        if pair_layout == "auto":
+            pair_layout = "s2d" if s2d_ok else "nhwc"
+        elif pair_layout == "s2d" and not s2d_ok:
             print("  \\__pair-layout s2d unavailable for this G/R combination "
                   "-- falling back to nhwc")
             pair_layout = "nhwc"
