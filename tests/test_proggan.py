@@ -64,3 +64,20 @@ def test_proggan_remat_policies_same_output():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(outs[True]), np.asarray(outs[False]),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_proggan_out_layout_s2d_matches_nhwc():
+    """apply(out_layout='s2d') is exactly to_s2d(apply()) for both tail
+    layouts (s2d tail: skips the final from_s2d; nhwc tail: pays one
+    transpose) — the contract the --pair-layout s2d training path relies on."""
+    from warpedganspace_tpu.models.proggan import ProgGANGenerator
+    from warpedganspace_tpu.ops.s2d import to_s2d
+
+    params = ProgGANGenerator().init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 512))
+    for tail in ("s2d", "nhwc"):
+        gen = ProgGANGenerator(tail_layout=tail)
+        a = gen.apply(params, z)
+        b = gen.apply(params, z, out_layout="s2d")
+        assert b.shape == (1, 512, 512, 12)
+        np.testing.assert_allclose(b, to_s2d(a), atol=1e-6)

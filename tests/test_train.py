@@ -326,7 +326,9 @@ def test_train_step_pair_s2d_matches_nhwc():
     # Adam normalizes near-zero grads to ~sign(g)*lr, so float-reassociation
     # jitter can flip a handful of tiny elements by up to ~2*lr; bound the
     # params absolutely (metrics above already pin the math at rtol 1e-4).
-    la = jax.tree_util.tree_leaves(results["nhwc"][0]["s_params"])
-    lb = jax.tree_util.tree_leaves(results["s2d"][0]["s_params"])
-    for a, b in zip(la, lb):
-        np.testing.assert_allclose(b, a, rtol=0, atol=5e-4)
+    for part in ("s_params", "r_params"):
+        la = jax.tree_util.tree_leaves(results["nhwc"][0][part])
+        lb = jax.tree_util.tree_leaves(results["s2d"][0][part])
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(b, a, rtol=0, atol=5e-4)

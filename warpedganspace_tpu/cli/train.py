@@ -111,9 +111,9 @@ def build_parser():
                         help="G->R image handoff layout inside the train step: "
                              "'s2d' keeps the pair in the generator tail's "
                              "native space-to-depth layout (exact; skips two "
-                             "layout transposes; 1024^2 GANs + ResNet R only). "
-                             "'auto' (default) = s2d whenever the G/R pair "
-                             "supports it")
+                             "layout transposes; StyleGAN2/ProgGAN generators "
+                             "+ ResNet R). 'auto' (default) = s2d whenever "
+                             "the G/R pair supports it")
     parser.set_defaults(cuda=True)
     return parser
 

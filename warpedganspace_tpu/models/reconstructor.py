@@ -180,7 +180,7 @@ class Reconstructor:
         y = nn.conv2d(_cast(p["conv3"], dtype), y, padding=0)
         y = jax.nn.relu(_bn(p, out_p, "bn3", y, train))
         # (B, 60w) spatial mean (reference :73-74); heads stay float32.
-        feats = jnp.mean(y, axis=(1, 2), dtype=jnp.float32)
+        feats = nn.avg_pool_global(y, dtype=jnp.float32)
 
         h = nn.linear(p["cls_fc1"], feats)
         h = jax.nn.relu(_bn(p, out_p, "cls_bn", h, train))
@@ -213,10 +213,8 @@ class Reconstructor:
         if dtype is not None:
             x = x.astype(dtype)
         out_p = dict(p)
-        w1 = p["conv1"]["w"]
-        if dtype is not None:
-            w1 = w1.astype(dtype)
-        k1 = s2dops.stem_conv_s2d_pair_kernel(w1, num_images=2)
+        k1 = s2dops.stem_conv_s2d_pair_kernel(_cast(p["conv1"], dtype)["w"],
+                                              num_images=2)
         y = lax.conv_general_dilated(
             x, k1, window_strides=(1, 1), padding=((2, 1), (2, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -247,7 +245,7 @@ class Reconstructor:
                 new_blocks.append(nbp)
             out_p[f"layer{li}"] = new_blocks
         # (B, 512); heads stay float32.
-        feats = jnp.mean(y, axis=(1, 2), dtype=jnp.float32)
+        feats = nn.avg_pool_global(y, dtype=jnp.float32)
         logits = nn.linear(p["cls_fc"], feats)
         mags = nn.linear(p["reg_fc"], feats)[:, 0]
         if train:

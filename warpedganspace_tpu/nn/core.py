@@ -216,9 +216,13 @@ def max_pool(x: jax.Array, window: int = 2, stride: int = 2) -> jax.Array:
     )
 
 
-def avg_pool_global(x: jax.Array) -> jax.Array:
-    """Global average pool over spatial dims: (B, H, W, C) -> (B, C)."""
-    return jnp.mean(x, axis=(1, 2))
+def avg_pool_global(x: jax.Array, dtype=None) -> jax.Array:
+    """Global average pool over spatial dims: (B, H, W, C) -> (B, C).
+
+    Pass ``dtype=jnp.float32`` on low-precision inputs to accumulate (and
+    return) in f32 — the reconstructor heads rely on this.
+    """
+    return jnp.mean(x, axis=(1, 2), dtype=dtype)
 
 
 def upsample_nearest(x: jax.Array, factor: int = 2) -> jax.Array:
