@@ -121,3 +121,36 @@ def test_traverse_multi_device_matches_single():
     c2, s2 = traverse_paths(S, params, z, eps=0.2, shift_steps=4, mesh=mesh)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-6)
+
+
+def test_iter_rendered_u8_s2d_out_bit_identical():
+    """The u8 stream with the S2D-out reorder (quantize, THEN un-S2D) is
+    bit-identical to the plain NHWC path — min/max and the per-pixel affine
+    commute with the pixel permutation."""
+    import dataclasses
+
+    import numpy as np
+
+    from warpedganspace_tpu.models.api import GeneratorBundle
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+    from warpedganspace_tpu.traverse.engine import iter_rendered_u8
+
+    gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1,
+                             shift_in_w_space=True)
+    params = gen.init(jax.random.key(0))
+    G = GeneratorBundle(name="StyleGAN2", dim_z=512, resolution=256,
+                        out_channels=3, params=params, apply_fn=gen.apply,
+                        get_w_fn=gen.get_w, shift_in_w_space=True,
+                        supports_s2d_out=True)
+    codes = jax.random.normal(jax.random.key(1), (3, 512))
+    shifts = 0.1 * jax.random.normal(jax.random.key(2), (3, 512))
+
+    def collect(bundle):
+        chunks = [img for _, img in iter_rendered_u8(
+            bundle, bundle.params, codes, shifts, batch_size=2, latent_is_w=True)]
+        return np.concatenate(chunks, axis=0)
+
+    a = collect(G)
+    b = collect(dataclasses.replace(G, supports_s2d_out=False))
+    assert a.shape == (3, 256, 256, 3)
+    np.testing.assert_array_equal(a, b)

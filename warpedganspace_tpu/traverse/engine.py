@@ -173,10 +173,21 @@ def iter_rendered_u8(G, g_params, codes, shifts, batch_size: int,
     instead of K), and the adaptive uint8 conversion (images.tensor2image
     semantics, per-image min/max) runs ON DEVICE, so host transfers move 1
     byte/px instead of 4. Chunks pad to a full batch => one compiled shape.
+
+    With an S2D-tail generator the un-S2D layout change runs AFTER the uint8
+    quantization (min/max and the per-pixel affine are permutation-invariant,
+    so the stream is bit-identical) — the transpose, which runs far off the
+    copy roofline on thin-channel tensors, then moves 1-byte pixels instead
+    of 2-4.
     """
     import numpy as np
 
+    from warpedganspace_tpu.ops import s2d as s2d_ops
+
     kwargs = {"latent_is_w": True} if latent_is_w else {}
+    s2d_out = getattr(G, "supports_s2d_out", False)
+    if s2d_out:
+        kwargs["out_layout"] = "s2d"
 
     @jax.jit
     def render_u8(g_params, c, s):
@@ -184,7 +195,8 @@ def iter_rendered_u8(G, g_params, codes, shifts, batch_size: int,
         lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
         hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
         x = (img - lo) / jnp.maximum(hi - lo, 1e-12)
-        return (255.0 * x).astype(jnp.uint8)
+        u8 = (255.0 * x).astype(jnp.uint8)
+        return s2d_ops.from_s2d(u8) if s2d_out else u8
 
     t = codes.shape[0]
     if dtype is not None:
