@@ -214,10 +214,9 @@ def _measure_tpu():
     log(f"SNGAN-MNIST train: {train_steps_per_sec:.1f} steps/s")
 
     # --- flagship train step (StyleGAN2-1024 W-space, bs=12, the production
-    # launcher flags: tail remat + bf16 G/R + S2D pair handoff) -------------
+    # launcher flags: bf16 G/R + S2D pair handoff, no remat — fits ~14 GB) --
     try:
-        gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True,
-                                   remat="tail")
+        gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
         GT = GeneratorBundle(name="StyleGAN2", dim_z=512, resolution=1024,
                              out_channels=3, params=params, apply_fn=gen_t.apply,
                              get_w_fn=gen_t.get_w, shift_in_w_space=True,

@@ -73,7 +73,7 @@ log(f"render bf16: {t * 1e3:.1f} ms/batch -> {B / t:.1f} img/s, "
     f"{fl / t / 1e12:.1f} TFLOP/s = {100 * fl / t / V5E_PEAK_BF16:.1f}% of bf16 peak")
 
 # ---------------- train step (north-star: 1024 W-space, bs=12, bf16-G) ------
-gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True, remat="tail")
+gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
 G = GeneratorBundle(
     name="StyleGAN2", dim_z=512, resolution=1024, out_channels=3,
     params=params, apply_fn=gen_t.apply, get_w_fn=gen_t.get_w, shift_in_w_space=True,
@@ -81,7 +81,7 @@ G = GeneratorBundle(
 S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                 support_vectors_dim=512, learn_gammas=True)
 R = Reconstructor("ResNet", dim=200, channels=3)
-# The production launcher flags: tail remat, bf16 G + R, S2D pair handoff.
+# The production launcher flags: bf16 G + R, S2D pair handoff, no remat.
 cfg = TrainStepConfig(batch_size=12, num_support_sets=200,
                       min_shift_magnitude=0.1, max_shift_magnitude=0.2,
                       z_truncation=0.7, shift_in_w_space=True,
@@ -97,8 +97,7 @@ t_step = timed(lambda st, gp, k, i: step(st, gp, k, i), (state, G.params, key, 1
                reps=10, rounds=3)
 log(f"train step: {t_step * 1e3:.0f} ms ({1 / t_step:.2f} steps/s), "
     f"{fl_step:.3e} flops -> {fl_step / t_step / 1e12:.1f} TFLOP/s = "
-    f"{100 * fl_step / t_step / V5E_PEAK_BF16:.1f}% of bf16 peak "
-    f"(remat recompute included in flops)")
+    f"{100 * fl_step / t_step / V5E_PEAK_BF16:.1f}% of bf16 peak")
 
 # ---------------- component attribution -------------------------------------
 bz = jax.random.normal(jax.random.key(2), (12, 512))
@@ -108,7 +107,7 @@ bzb = bz.astype(jnp.bfloat16)
 
 g_fwd = jax.jit(lambda p, z: G.apply(p, z, out_layout="s2d"))
 t_gfwd = timed(g_fwd, (p_bf, bzb), reps=10)
-log(f"  G fwd (bs12 bf16, remat graph): {t_gfwd * 1e3:.0f} ms")
+log(f"  G fwd (bs12 bf16, S2D out): {t_gfwd * 1e3:.0f} ms")
 
 imgs = jnp.zeros((12, 512, 512, 12), jnp.bfloat16)
 r_params = state["r_params"]
@@ -144,6 +143,5 @@ log(f"  full loss fwd (2x G + R + warp): {t_fwd * 1e3:.0f} ms")
 
 lg = jax.jit(jax.grad(loss_fwd, argnums=(0, 1)))
 t_fb = timed(lg, (s_params, r_params, p_bf, bz, idx, mags), reps=10)
-log(f"  loss fwd+bwd: {t_fb * 1e3:.0f} ms -> backward ~{(t_fb - t_fwd) * 1e3:.0f} ms "
-    f"(incl. remat recompute of both G forwards)")
+log(f"  loss fwd+bwd: {t_fb * 1e3:.0f} ms -> backward ~{(t_fb - t_fwd) * 1e3:.0f} ms")
 log(f"  optimizer/overhead: ~{(t_step - t_fb) * 1e3:.0f} ms (step - fwd+bwd)")

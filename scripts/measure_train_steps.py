@@ -73,31 +73,38 @@ key = jax.random.key(0)
 which = set(sys.argv[1:]) or {"stylegan2", "proggan", "biggan", "anime", "mnist"}
 
 if "stylegan2" in which:
-    gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True, remat="tail")
-    G = GeneratorBundle(name="StyleGAN2", dim_z=512, resolution=1024,
-                        out_channels=3, params=jax.jit(gen.init)(key),
-                        apply_fn=gen.apply, get_w_fn=gen.get_w,
-                        shift_in_w_space=True, supports_s2d_out=True)
     S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                     support_vectors_dim=512, learn_gammas=True)
     R = Reconstructor("ResNet", dim=200, channels=3)
-    measure("StyleGAN2-1024 W bs12", G, S, R,
-            dict(batch_size=12, num_support_sets=200, min_shift_magnitude=0.1,
-                 max_shift_magnitude=0.2, z_truncation=0.7, shift_in_w_space=True),
-            [("f32", {}), ("production", PROD)])
+    # f32 needs remat to fit 16 GB; the production bf16/s2d config does not.
+    for label, remat, extra in (("f32 tail-remat", "tail", {}),
+                                ("production no-remat", False, PROD)):
+        gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True,
+                                 remat=remat)
+        G = GeneratorBundle(name="StyleGAN2", dim_z=512, resolution=1024,
+                            out_channels=3, params=jax.jit(gen.init)(key),
+                            apply_fn=gen.apply, get_w_fn=gen.get_w,
+                            shift_in_w_space=True, supports_s2d_out=True)
+        measure("StyleGAN2-1024 W bs12", G, S, R,
+                dict(batch_size=12, num_support_sets=200, min_shift_magnitude=0.1,
+                     max_shift_magnitude=0.2, z_truncation=0.7,
+                     shift_in_w_space=True),
+                [(label, extra)])
 
 if "proggan" in which:
-    gen = ProgGANGenerator(remat="tail")
-    G = GeneratorBundle(name="ProgGAN", dim_z=512, resolution=1024,
-                        out_channels=3, params=jax.jit(gen.init)(key),
-                        apply_fn=gen.apply, supports_s2d_out=True)
     S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                     support_vectors_dim=512, learn_gammas=True)
     R = Reconstructor("ResNet", dim=200, channels=3)
-    measure("ProgGAN-1024 bs8", G, S, R,
-            dict(batch_size=8, num_support_sets=200, min_shift_magnitude=0.1,
-                 max_shift_magnitude=0.2),
-            [("f32", {}), ("production", PROD)])
+    for label, remat, extra in (("f32 tail-remat", "tail", {}),
+                                ("production no-remat", False, PROD)):
+        gen = ProgGANGenerator(remat=remat)
+        G = GeneratorBundle(name="ProgGAN", dim_z=512, resolution=1024,
+                            out_channels=3, params=jax.jit(gen.init)(key),
+                            apply_fn=gen.apply, supports_s2d_out=True)
+        measure("ProgGAN-1024 bs8", G, S, R,
+                dict(batch_size=8, num_support_sets=200, min_shift_magnitude=0.1,
+                     max_shift_magnitude=0.2),
+                [(label, extra)])
 
 if "biggan" in which:
     gen = BigGANGenerator.from_config(target_classes=(239,))
