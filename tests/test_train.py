@@ -232,7 +232,7 @@ def test_trainer_orbax_backend_resume(tmp_path, capsys):
     trn.save_checkpoint(3, S, state)
 
     trn2 = Trainer(params=p, exp_dir="exp-orbax", root=root)
-    start, restored = trn2.get_starting_iteration(S, R, init_train_state(key, G, S, R, cfg))
+    start, restored = trn2.get_starting_iteration(S, init_train_state(key, G, S, R, cfg))
     assert start == 3
     for a, b in zip(jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -154,3 +154,41 @@ def test_iter_rendered_u8_s2d_out_bit_identical():
     b = collect(dataclasses.replace(G, supports_s2d_out=False))
     assert a.shape == (3, 256, 256, 3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_traverse_num_paths_subset_jnp_backend():
+    """num_paths < K must work on the jnp backend too (parameter leaves are
+    sliced to the first k sets, matching the Pallas branch)."""
+    from warpedganspace_tpu.models.support_sets import SupportSets
+    from warpedganspace_tpu.traverse import traverse_paths
+
+    S = SupportSets(num_support_sets=4, num_support_dipoles=2, support_vectors_dim=8)
+    params = S.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (3, 8))
+    codes, shifts = traverse_paths(S, params, z, eps=0.2, shift_steps=3,
+                                   num_paths=2, use_pallas=False)
+    assert codes.shape == (3, 2, 7, 8)
+    full_codes, _ = traverse_paths(S, params, z, eps=0.2, shift_steps=3,
+                                   use_pallas=False)
+    np.testing.assert_allclose(codes, full_codes[:, :2], rtol=1e-6)
+
+
+def test_render_u8_fn_is_cached():
+    """The jitted u8 renderer is reused across calls (one compile per
+    generator/flag combination, not one per latent code)."""
+    from warpedganspace_tpu.models.api import GeneratorBundle
+    from warpedganspace_tpu.models.sngan import SNGANGenerator
+    from warpedganspace_tpu.traverse.engine import _render_u8_fn
+
+    gen = SNGANGenerator.from_gan_type("SNGAN_MNIST")
+    G = GeneratorBundle(name="SNGAN_MNIST", dim_z=gen.dim_z, resolution=32,
+                        out_channels=1, params=gen.init(jax.random.key(0)),
+                        apply_fn=gen.apply)
+    assert _render_u8_fn(G, False) is _render_u8_fn(G, False)
+    assert _render_u8_fn(G, False) is not _render_u8_fn(G, True)
+
+
+def test_collate_gifs_empty_tree(tmp_path):
+    from warpedganspace_tpu.traverse.gifs import collate_traversal_gifs
+
+    collate_traversal_gifs(str(tmp_path), num_paths=2)  # must not raise

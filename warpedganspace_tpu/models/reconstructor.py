@@ -215,9 +215,7 @@ class Reconstructor:
         out_p = dict(p)
         k1 = s2dops.stem_conv_s2d_pair_kernel(_cast(p["conv1"], dtype)["w"],
                                               num_images=2)
-        y = lax.conv_general_dilated(
-            x, k1, window_strides=(1, 1), padding=((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = s2dops.s2d_conv(x, k1, dilated=False)
         return self._resnet_tail(p, out_p, y, train, dtype)
 
     def _apply_resnet(self, p: dict, x, train: bool, dtype=None):

@@ -168,14 +168,18 @@ def stem_conv_s2d_pair_kernel(w: jax.Array, num_images: int = 2) -> jax.Array:
 
 
 def s2d_conv(x: jax.Array, k: jax.Array, dilated: bool) -> jax.Array:
-    """Apply an S2D kernel: plain pad-1 conv, or lhs-dilated grid-doubling conv."""
+    """Apply an S2D kernel: same-grid stride-1 conv, or lhs-dilated
+    grid-doubling conv. Padding preserves the grid size for both odd kernels
+    (symmetric k//2) and the even kernels the stride-2 re-derivations produce
+    (asymmetric (k//2, (k-1)//2) — e.g. the 4x4 stem kernel pads (2, 1))."""
     if dilated:
         return lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding=((2, 2), (2, 2)),
             lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    pad = k.shape[0] // 2
+    kh, kw = k.shape[0], k.shape[1]
     return lax.conv_general_dilated(
-        x, k, window_strides=(1, 1), padding=((pad, pad), (pad, pad)),
+        x, k, window_strides=(1, 1),
+        padding=((kh // 2, (kh - 1) // 2), (kw // 2, (kw - 1) // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import os
 import os.path as osp
-import pickle
 import shutil
 import sys
 import time
@@ -168,10 +167,14 @@ class Trainer:
         )
         tmp = self.opt_sidecar + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump({"iter": iteration, "leaves": [np.asarray(x) for x in leaves]}, f)
+            np.savez(
+                f,
+                iter=np.asarray(iteration),
+                **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+            )
         os.replace(tmp, self.opt_sidecar)
 
-    def get_starting_iteration(self, S, R, state) -> tuple[int, dict]:
+    def get_starting_iteration(self, S, state) -> tuple[int, dict]:
         """Resume from checkpoint.pt (reference trainer.py:74-89) or, with the
         orbax backend, from the newest orbax step."""
         if self.checkpoint_backend == "orbax":
@@ -199,16 +202,17 @@ class Trainer:
         )
         if osp.isfile(self.opt_sidecar):
             try:
-                with open(self.opt_sidecar, "rb") as f:
-                    blob = pickle.load(f)
-                if blob.get("iter") != int(ckpt["iter"]):
+                blob = np.load(self.opt_sidecar)
+                side_iter = int(blob["iter"])
+                if side_iter != int(ckpt["iter"]):
                     raise ValueError(
-                        f"sidecar is from iteration {blob.get('iter')}, "
+                        f"sidecar is from iteration {side_iter}, "
                         f"checkpoint from {int(ckpt['iter'])}"
                     )
+                leaves = [blob[f"leaf_{i}"] for i in range(len(blob.files) - 1)]
                 ref = {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
                 treedef = jax.tree_util.tree_structure(ref)
-                restored = jax.tree_util.tree_unflatten(treedef, blob["leaves"])
+                restored = jax.tree_util.tree_unflatten(treedef, leaves)
                 state["opt_s"], state["opt_r"] = restored["opt_s"], restored["opt_r"]
             except Exception as e:
                 print(f"#. Warning: could not restore optimizer sidecar ({e}); Adam moments reset")
@@ -288,9 +292,7 @@ class Trainer:
             osp.join(self.models_dir, "support_sets_init.pt"),
         )
 
-        starting_iter, state = self.get_starting_iteration(
-            support_sets, reconstructor, state
-        )
+        starting_iter, state = self.get_starting_iteration(support_sets, state)
 
         if starting_iter == p.max_iter:
             print("#. This experiment has already been completed and can be found @ {}".format(self.wip_dir))

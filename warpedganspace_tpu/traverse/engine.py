@@ -122,7 +122,13 @@ def traverse_paths(
             )
     else:
         zt, se = z00, signed_eps
-        dir_fn = lambda z: S.direction_all_sets(s_params, z)     # noqa: E731
+        # Slice the per-set arrays to the first k paths, mirroring the Pallas
+        # branch's [:k] — otherwise num_paths < K mismatches the einsum's set
+        # axis (S.gammas broadcasts with the STATIC K, so slice its result).
+        sv_k = s_params["support_sets"][:k]
+        al_k = s_params["alphas"][:k]
+        ga_k = S.gammas(s_params)[:k]
+        dir_fn = lambda z: rbf.warp_grad_all_sets(sv_k, al_k, ga_k, z)  # noqa: E731
         if mesh is not None:
             # Shard the path axis over the data-parallel mesh (the path axis
             # because K (64-200) is always >= the device count, unlike N).
@@ -162,6 +168,41 @@ def traverse_paths(
     return codes, shifts
 
 
+# jit caches are keyed on the function OBJECT — a fresh closure per call would
+# re-trace (and re-compile) the full generator every invocation, and the
+# traversal CLI calls iter_rendered_u8 once per latent code. Cache the jitted
+# renderer per (generator apply_fn, flags); the stored apply_fn reference also
+# pins its id() so a recycled id can never alias a different generator.
+_RENDER_U8_CACHE: dict = {}
+
+
+def _render_u8_fn(G, latent_is_w: bool):
+    from warpedganspace_tpu.ops import s2d as s2d_ops
+
+    s2d_out = bool(getattr(G, "supports_s2d_out", False))
+    key = (id(G.apply_fn), s2d_out, bool(latent_is_w))
+    hit = _RENDER_U8_CACHE.get(key)
+    if hit is not None and hit[0] is G.apply_fn:
+        return hit[1]
+
+    kwargs = {"latent_is_w": True} if latent_is_w else {}
+    if s2d_out:
+        kwargs["out_layout"] = "s2d"
+    apply_fn = G.apply_fn
+
+    @jax.jit
+    def render_u8(g_params, c, s):
+        img = apply_fn(g_params, c, s, **kwargs).astype(jnp.float32)
+        lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
+        hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+        x = (img - lo) / jnp.maximum(hi - lo, 1e-12)
+        u8 = (255.0 * x).astype(jnp.uint8)
+        return s2d_ops.from_s2d(u8) if s2d_out else u8
+
+    _RENDER_U8_CACHE[key] = (apply_fn, render_u8)
+    return render_u8
+
+
 def iter_rendered_u8(G, g_params, codes, shifts, batch_size: int,
                      latent_is_w: bool = False, dtype=None):
     """Yield (start, uint8 ndarray chunk) over a flat sequence of (code, shift)
@@ -182,21 +223,7 @@ def iter_rendered_u8(G, g_params, codes, shifts, batch_size: int,
     """
     import numpy as np
 
-    from warpedganspace_tpu.ops import s2d as s2d_ops
-
-    kwargs = {"latent_is_w": True} if latent_is_w else {}
-    s2d_out = getattr(G, "supports_s2d_out", False)
-    if s2d_out:
-        kwargs["out_layout"] = "s2d"
-
-    @jax.jit
-    def render_u8(g_params, c, s):
-        img = G.apply(g_params, c, s, **kwargs).astype(jnp.float32)
-        lo = jnp.min(img, axis=(1, 2, 3), keepdims=True)
-        hi = jnp.max(img, axis=(1, 2, 3), keepdims=True)
-        x = (img - lo) / jnp.maximum(hi - lo, 1e-12)
-        u8 = (255.0 * x).astype(jnp.uint8)
-        return s2d_ops.from_s2d(u8) if s2d_out else u8
+    render_u8 = _render_u8_fn(G, latent_is_w)
 
     t = codes.shape[0]
     if dtype is not None:

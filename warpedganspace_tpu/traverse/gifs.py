@@ -66,6 +66,10 @@ def collate_traversal_gifs(
     os.makedirs(osp.join(out_dir, "paths_gifs"), exist_ok=True)
 
     print("#. Collate GIFs...")
+    if not img_ids:
+        # Nothing traversed (e.g. an empty results tree) — skip cleanly.
+        print("  \\__No rendered latent-code directories found; nothing to collate")
+        return
     for dim in range(num_paths):
         if verbose:
             update_progress(
@@ -79,8 +83,11 @@ def collate_traversal_gifs(
             frame_files = sorted(
                 f for f in os.listdir(frames_dir) if osp.isfile(osp.join(frames_dir, f))
             )
-            if n_frames is None:
-                n_frames = len(frame_files)
+            # A partially-rendered tree (interrupted run) can leave codes with
+            # fewer frames; collate the common prefix instead of IndexError.
+            n_frames = (
+                len(frame_files) if n_frames is None else min(n_frames, len(frame_files))
+            )
             row = [
                 concat_pair(
                     original,
