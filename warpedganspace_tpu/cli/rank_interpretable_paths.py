@@ -133,7 +133,11 @@ def main(argv=None):
         raise NotADirectoryError("Error: pool directory {} not found under {}".format(
             args.pool, osp.join(args.exp, "results")))
 
-    if (args.shift_steps is None) and (args.eps is None):
+    # The reference gates auto-discovery on BOTH flags being None, but its
+    # --shift-steps has a default, making that branch unreachable (omitting
+    # --eps then crashes computing the config name). Honor the documented
+    # intent instead: no --eps -> scan the existing traversal config dirs.
+    if args.eps is None:
         configs = [d for d in os.listdir(latent_traversal_dir)
                    if osp.isdir(osp.join(latent_traversal_dir, d))]
     else:
@@ -150,11 +154,16 @@ def main(argv=None):
     for l_config in configs:
         if args.verbose:
             print("       \\__.Latent space traversal config: {}".format(l_config))
+        # NOTE: the dir encodes <2*steps>_<eps>_<len>, so these names are
+        # swapped — replicated verbatim from the reference's mislabeled unpack
+        # (rank_interpretable_paths.py:312) so attributes_traversals_details
+        # .json stays byte-compatible.
         eps, shift_steps, traversal_length = l_config.split("_")
         hashes_root = osp.join(latent_traversal_dir, l_config)
         hashes = [d for d in os.listdir(hashes_root)
                   if osp.isdir(osp.join(hashes_root, d))
-                  and d not in ("paths_gifs", "interpretable_paths")]
+                  and d not in ("paths_gifs", "interpretable_paths",
+                                "validation_results")]
 
         # [num_samples, num_attributes, num_paths, num_points]
         all_attrs = []
@@ -170,6 +179,15 @@ def main(argv=None):
                 except FileNotFoundError:
                     print("Attribute traversal file not found: {}".format(f))
             all_attrs.append(sample)
+        # A hash with missing attribute files would make the nested list
+        # ragged, and np.array would fail far from the cause — name the
+        # deficient hashes instead.
+        want = len(attributes)
+        bad = [h for h, s_ in zip(hashes, all_attrs) if len(s_) != want]
+        if bad:
+            raise FileNotFoundError(
+                "incomplete eval_np arrays for hash dir(s) {} — re-run "
+                "traverse_attribute_space for this config".format(bad))
         attrs = np.array(all_attrs)
         # -> [num_samples, num_paths, num_attributes, num_points]
         attrs = np.transpose(attrs, axes=(0, 2, 1, 3))

@@ -123,7 +123,17 @@ def build_parser():
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    # Validate required-in-practice flags BEFORE creating the experiment dir,
+    # so a misconfigured launch doesn't litter experiments/wip/ with
+    # 'None-...-KNone-DNone' directories carrying an invalid args.json.
+    for flag, val in (("--gan-type", args.gan_type),
+                      ("-K/--num-support-sets", args.num_support_sets),
+                      ("-D/--num-support-dipoles", args.num_support_dipoles)):
+        if val is None:
+            parser.error(f"{flag} is required")
 
     # Create output dir and save current arguments (the args.json contract).
     exp_dir = create_exp_dir(args)

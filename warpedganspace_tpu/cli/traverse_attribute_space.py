@@ -248,7 +248,11 @@ def main(argv=None):
         raise NotADirectoryError("Error: pool directory {} not found under {}".format(
             args.pool, osp.join(args.exp, "results")))
 
-    if (args.shift_steps is None) and (args.eps is None):
+    # The reference gates auto-discovery on BOTH flags being None, but its
+    # --shift-steps has a default, making that branch unreachable (omitting
+    # --eps then crashes computing the config name). Honor the documented
+    # intent instead: no --eps -> scan the existing traversal config dirs.
+    if args.eps is None:
         configs = [d for d in os.listdir(latent_traversal_dir)
                    if osp.isdir(osp.join(latent_traversal_dir, d))]
     else:
@@ -267,7 +271,8 @@ def main(argv=None):
         hashes_dir = osp.join(latent_traversal_dir, l_config)
         hashes = [d for d in os.listdir(hashes_dir)
                   if osp.isdir(osp.join(hashes_dir, d))
-                  and d not in ("paths_gifs", "validation_results")]
+                  and d not in ("paths_gifs", "validation_results",
+                                "interpretable_paths")]
         for cnt, h in enumerate(hashes, start=1):
             if args.verbose:
                 print("           \\__.hash: {} [{}/{}]".format(h, cnt, len(hashes)))

@@ -61,7 +61,12 @@ ATTRIBUTE_RANGES = {
 
 
 def l1_normalize_rows(x: np.ndarray) -> np.ndarray:
-    """Row-wise L1 normalization (reference ``l1``, :88-94)."""
+    """Row-wise L1 normalization (reference ``l1``, :88-94).
+
+    Like the reference, an all-zero row (a path whose every attribute sequence
+    is constant) divides by zero and yields NaN — preserved for output parity;
+    pandas ``sort_values`` places NaNs last, so rankings stay well-defined.
+    """
     return x / np.abs(x).sum(axis=1, keepdims=True)
 
 
