@@ -28,7 +28,12 @@ import warnings
 
 # A FutureWarning from jax means a future release breaks this path (e.g. the
 # f32-into-bf16 scatter promotion caught in round 1) — fail the bench instead.
-warnings.filterwarnings("error", category=FutureWarning, module=r"jax\..*")
+# jax deprecations often carry stacklevel>=2, attributing the warning to the
+# CALLING module, so match our own modules too (not torch/PIL, which are only
+# used for the baseline measurement and IO).
+warnings.filterwarnings(
+    "error", category=FutureWarning, module=r"(jax|warpedganspace_tpu)(\..*)?|bench"
+)
 
 BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
 
@@ -97,8 +102,9 @@ def _measure_tpu():
     # fidelity gate vs the f32 render (BASELINE.md). ------------------------
     import numpy as np
 
-    params_bf16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    from warpedganspace_tpu.models.api import cast_params_bf16
+
+    params_bf16 = cast_params_bf16(params)
 
     @jax.jit
     def render_bf16(params, w, shift):
@@ -333,9 +339,9 @@ def _measure_cli_e2e(raw_render_rate):
         # Device-side stream rate over the same workload (no JPEG).
         G = build_gan(gan_type="StyleGAN2", stylegan2_resolution=1024,
                       shift_in_w_space=True)
-        gp = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-            G.params)
+        from warpedganspace_tpu.models.api import cast_params_bf16
+
+        gp = cast_params_bf16(G.params)
         codes = jax.random.normal(jax.random.key(1), (n_frames, 512))
         shifts = 0.1 * jax.random.normal(jax.random.key(2), (n_frames, 512))
         for _ in iter_rendered_u8(G, gp, codes, shifts, batch_size=16,

@@ -188,8 +188,9 @@ def main(argv=None):
             mesh = make_mesh()
     g_params = G.params
     if args.dtype == "bfloat16":
-        g_params = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, G.params)
+        from warpedganspace_tpu.models.api import cast_params_bf16
+
+        g_params = cast_params_bf16(G.params)
     latents = jnp.asarray(zs)
     if shift_in_w_space:
         # The warp integration stays float32 regardless of the render dtype.

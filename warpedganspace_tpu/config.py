@@ -114,19 +114,11 @@ def biggan_classes() -> dict[int, str]:
         return {int(k): v for k, v in json.load(f).items()}
 
 
-# Backwards-style alias mirroring the reference constant name.
-class _LazyClasses(dict):
-    def __missing__(self, key):
-        self.update(biggan_classes())
-        return dict.__getitem__(self, key)
-
-    def __iter__(self):
-        self.update(biggan_classes())
-        return dict.__iter__(self)
-
-    def __len__(self):
-        self.update(biggan_classes())
-        return dict.__len__(self)
-
-
-BIGGAN_CLASSES = _LazyClasses()
+# Lazy alias mirroring the reference constant name (PEP 562 module
+# __getattr__: a full real dict with every dict API — get()/in/items() — is
+# returned on first attribute access, instead of a subclass whose laziness
+# only triggered through __missing__/__iter__/__len__).
+def __getattr__(name):
+    if name == "BIGGAN_CLASSES":
+        return biggan_classes()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -20,6 +20,19 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable
 
+import jax
+import jax.numpy as jnp
+
+
+def cast_params_bf16(params):
+    """Cast every float32 leaf of a frozen param pytree to bfloat16 (integer
+    leaves, e.g. BigGAN class buffers, pass through). The single definition of
+    the mixed-precision cast policy — used by the trainer, the train step's
+    in-jit (traced-to-identity) re-cast, the traversal CLI and the bench."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params
+    )
+
 
 @dataclasses.dataclass(frozen=True)
 class GeneratorBundle:

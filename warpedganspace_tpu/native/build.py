@@ -23,13 +23,20 @@ def load_native():
     try:
         with open(src, "rb") as f:
             digest = hashlib.sha1(f.read()).hexdigest()[:12]
+        # Per-user cache with owner-only permissions: a shared, predictable
+        # /tmp path would let another local user pre-plant a .so that we
+        # would CDLL.
         cache_dir = os.environ.get(
-            "WGS_NATIVE_CACHE", osp.join(tempfile.gettempdir(), "wgs_native")
+            "WGS_NATIVE_CACHE",
+            osp.join(tempfile.gettempdir(), f"wgs_native_{os.getuid()}"),
         )
-        os.makedirs(cache_dir, exist_ok=True)
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         lib_path = osp.join(cache_dir, f"sfd_post_{digest}.so")
         if not osp.isfile(lib_path):
-            tmp = lib_path + ".tmp"
+            # Unique tmp per process: concurrent first-use builds (parallel
+            # test workers, train+eval jobs) must not interleave writes into
+            # one tmp file and publish a corrupt library.
+            tmp = f"{lib_path}.{os.getpid()}.tmp"
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, src],
                 check=True,

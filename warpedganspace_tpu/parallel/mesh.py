@@ -33,6 +33,15 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     import os
 
     if coordinator_address is not None or "COORDINATOR_ADDRESS" in os.environ:
+        # jax.distributed only reads ITS OWN env vars (JAX_COORDINATOR_ADDRESS
+        # etc.) — our COORDINATOR_ADDRESS convenience vars must be passed
+        # explicitly or they would be silently ignored.
+        if coordinator_address is None:
+            coordinator_address = os.environ["COORDINATOR_ADDRESS"]
+        if num_processes is None and "NUM_PROCESSES" in os.environ:
+            num_processes = int(os.environ["NUM_PROCESSES"])
+        if process_id is None and "PROCESS_ID" in os.environ:
+            process_id = int(os.environ["PROCESS_ID"])
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

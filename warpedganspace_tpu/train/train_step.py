@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from warpedganspace_tpu.core.sampling import sample_batch_directives
-from warpedganspace_tpu.models.api import GeneratorBundle
+from warpedganspace_tpu.models.api import GeneratorBundle, cast_params_bf16
 from warpedganspace_tpu.models.reconstructor import Reconstructor
 from warpedganspace_tpu.models.support_sets import SupportSets
 from warpedganspace_tpu.parallel.mesh import shard_batch
@@ -162,10 +162,7 @@ def make_train_step(
 
     def step(state, g_params, seed_key, iteration):
         if g_bf16:
-            g_params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-                g_params,
-            )
+            g_params = cast_params_bf16(g_params)
         key = jax.random.fold_in(seed_key, iteration)
         z, idx, mags = sample_batch_directives(
             key,

@@ -314,12 +314,9 @@ class Trainer:
         if cfg.generator_dtype == "bfloat16":
             # Cast the frozen params ONCE here; the in-step cast then traces to
             # identity ops (XLA elides same-dtype astype).
-            import jax.numpy as jnp
+            from warpedganspace_tpu.models.api import cast_params_bf16
 
-            g_params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-                g_params,
-            )
+            g_params = cast_params_bf16(g_params)
 
         if profile:
             jax.profiler.start_trace(osp.join(self.wip_dir, "profile"))
