@@ -1,3 +1,3 @@
 #!/bin/bash
-# Training launcher (mnist) — reference config (scripts/train/mnist.sh).
-python train.py --tensorboard --learn-gammas --log-freq=10 --ckp-freq=100 --gan-type=SNGAN_MNIST --reconstructor-type=LeNet -K 64 -D 128 --min-shift-magnitude=0.15 --max-shift-magnitude=0.25 --batch-size=128 --max-iter=120000
+# Training launcher (mnist) — reference config + TPU mixed-precision flags (scripts/train/mnist.sh).
+python train.py --tensorboard --learn-gammas --log-freq=10 --ckp-freq=100 --gan-type=SNGAN_MNIST --reconstructor-type=LeNet -K 64 -D 128 --min-shift-magnitude=0.15 --max-shift-magnitude=0.25 --batch-size=128 --max-iter=120000 --g-dtype bfloat16
