@@ -203,8 +203,10 @@ def _measure_tpu():
     S2 = SupportSets(num_support_sets=64, num_support_dipoles=128,
                      support_vectors_dim=128, learn_gammas=True)
     R = Reconstructor("LeNet", dim=64, channels=1)
+    # The launcher's production flags (bf16-G; measured 93 -> 111 steps/s).
     cfg = TrainStepConfig(batch_size=128, num_support_sets=64,
-                          min_shift_magnitude=0.15, max_shift_magnitude=0.25)
+                          min_shift_magnitude=0.15, max_shift_magnitude=0.25,
+                          generator_dtype="bfloat16")
     key = jax.random.key(7)
     state = jax.jit(lambda k: init_train_state(k, G, S2, R, cfg))(key)
     log("train state initialized")
