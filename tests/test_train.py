@@ -332,3 +332,18 @@ def test_train_step_pair_s2d_matches_nhwc():
         assert len(la) == len(lb)
         for a, b in zip(la, lb):
             np.testing.assert_allclose(b, a, rtol=0, atol=5e-4)
+
+
+def test_trainer_profile_writes_trace(tmp_path):
+    """--profile captures a jax.profiler trace directory (SURVEY §5 tracing)."""
+    import os
+
+    G, S, R, _ = _tiny_setup(batch_size=4)
+    p = _trainer_params(tmp_path, max_iter=2)
+    root = str(tmp_path / "experiments")
+    trn = Trainer(params=p, exp_dir="prof-exp", root=root)
+    trn.train(G, S, R, profile=True)
+    prof_dir = osp.join(root, "wip", "prof-exp", "profile")
+    assert osp.isdir(prof_dir)
+    found = [f for _, _, fs in os.walk(prof_dir) for f in fs]
+    assert found, "profiler trace directory is empty"
