@@ -95,3 +95,26 @@ def test_rank_cli_outputs(tmp_path, monkeypatch):
     with open(root / "attributes_traversals_details.json") as f:
         det = json.load(f)
     assert det["num_of_paths"] == 4 and det["num_of_points_per_path"] == 7
+
+
+def test_rank_cli_eps_autodiscovery_and_rerun_after_ranking(tmp_path, monkeypatch):
+    """Omitting --eps scans existing traversal-config dirs (the reference's
+    documented-but-unreachable fallback), and the hash listing skips the
+    interpretable_paths/ output of a previous ranking run."""
+    from warpedganspace_tpu.cli import rank_interpretable_paths as rank_cli
+
+    monkeypatch.chdir(tmp_path)
+    exp = tmp_path / "exp"
+    hashes_root = exp / "results" / "mini" / "6_0.2_1.2"
+    rng = np.random.RandomState(3)
+    for h in ("aaa", "bbb"):
+        np_dir = hashes_root / h / "eval_np"
+        np_dir.mkdir(parents=True)
+        for attr in ("celeba_bangs", "identity"):
+            np.save(np_dir / f"{attr}.npy", rng.rand(4, 7))
+
+    args = ["--exp", str(exp), "--pool", "mini", "--attr-group", "Bangs", "--no-gif"]
+    rank_cli.main(args)          # no --eps: auto-discovers 6_0.2_1.2
+    root = hashes_root / "interpretable_paths" / "Group_Bangs"
+    assert (root / "interpretable_paths.json").is_file()
+    rank_cli.main(args)          # re-run must skip interpretable_paths/
