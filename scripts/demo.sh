@@ -2,6 +2,8 @@
 # End-to-end smoke demo: sample -> train -> traverse (+GIFs) -> checkpoint2model
 # on a tiny SNGAN_MNIST config. Runs WITHOUT pretrained weights (random
 # generator via WGS_ALLOW_RANDOM_G=1) — useful for validating an installation;
+# first run takes ~10-20 min on a cold XLA compile cache (set
+# JAX_COMPILATION_CACHE_DIR to persist compiles), ~2 min warm;
 # with real weights downloaded (download_models.py), drop the env var and raise
 # the iteration counts (see scripts/train/*.sh for the reference configs).
 set -e
