@@ -96,15 +96,18 @@ def path_attribute_correlations(
     )[None, None, :, None] - 1.0
     scaled = np.clip(scaled, -1.0, 1.0)
 
-    out = np.zeros((s_n, k_n, a_n))
     idx = np.arange(t_n)
     # Identity uses the V-shaped index — distance from the center frame
     # (reference :394-397).
     v_idx = np.concatenate([-1 * np.arange(-t_n // 2 + 1, 0), np.arange(t_n // 2 + 1)])
-    for s in range(s_n):
-        for k in range(k_n):
-            for t in range(a_n):
-                seq = scaled[s, k, t]
-                this_idx = v_idx if names[t] == "identity" else idx
-                out[s, k, t] = np.cov(seq, this_idx)[0, 1] / np.sqrt(np.cov(this_idx))
-    return out
+    # One [a, t] index matrix (identity rows get the V index), then the whole
+    # cov(A_t, idx)/sqrt(var(idx)) tensor as a single einsum over t — replaces
+    # the reference's per-(sample, path, attribute) np.cov loop with identical
+    # ddof=1 semantics (np.cov default).
+    idx_mat = np.stack([v_idx if a == "identity" else idx for a in names]).astype(float)
+    idx_c = idx_mat - idx_mat.mean(axis=-1, keepdims=True)
+    seq_c = scaled - scaled.mean(axis=-1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cov = np.einsum("skat,at->ska", seq_c, idx_c) / (t_n - 1)
+        idx_std = np.sqrt((idx_c**2).sum(axis=-1) / (t_n - 1))
+        return cov / idx_std[None, None, :]
