@@ -120,5 +120,6 @@ def biggan_classes() -> dict[int, str]:
 # only triggered through __missing__/__iter__/__len__).
 def __getattr__(name):
     if name == "BIGGAN_CLASSES":
-        return biggan_classes()
+        globals()["BIGGAN_CLASSES"] = biggan_classes()  # later lookups skip __getattr__
+        return globals()["BIGGAN_CLASSES"]
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -202,14 +202,14 @@ class Trainer:
         )
         if osp.isfile(self.opt_sidecar):
             try:
-                blob = np.load(self.opt_sidecar)
-                side_iter = int(blob["iter"])
-                if side_iter != int(ckpt["iter"]):
-                    raise ValueError(
-                        f"sidecar is from iteration {side_iter}, "
-                        f"checkpoint from {int(ckpt['iter'])}"
-                    )
-                leaves = [blob[f"leaf_{i}"] for i in range(len(blob.files) - 1)]
+                with np.load(self.opt_sidecar) as blob:
+                    side_iter = int(blob["iter"])
+                    if side_iter != int(ckpt["iter"]):
+                        raise ValueError(
+                            f"sidecar is from iteration {side_iter}, "
+                            f"checkpoint from {int(ckpt['iter'])}"
+                        )
+                    leaves = [blob[f"leaf_{i}"] for i in range(len(blob.files) - 1)]
                 ref = {"opt_s": state["opt_s"], "opt_r": state["opt_r"]}
                 treedef = jax.tree_util.tree_structure(ref)
                 restored = jax.tree_util.tree_unflatten(treedef, leaves)
