@@ -115,3 +115,120 @@ def test_initialize_distributed_multiprocess_cpu(tmp_path):
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"proc {i} failed:\n{outs[i]}"
         assert f"proc {i} OK" in outs[i]
+
+
+# Worker for the cross-process train-step test: 2 processes x 2 local CPU
+# devices = a 4-device GLOBAL mesh spanning DCN (the jax.distributed backend
+# SURVEY §2.5 names). The full contrastive train step — both generator
+# forwards, the warp, the backward through frozen G, both Adam updates — is
+# jitted over the global mesh; all step inputs are built as global replicated
+# arrays (out_shardings=P()) so the SPMD program spans both processes.
+_TRAIN_WORKER = """\
+import json
+import sys
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+from warpedganspace_tpu.parallel.mesh import initialize_distributed, make_mesh
+
+initialize_distributed('127.0.0.1:{port}', 2, int(sys.argv[1]))
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from warpedganspace_tpu.models.api import GeneratorBundle
+from warpedganspace_tpu.models.reconstructor import Reconstructor
+from warpedganspace_tpu.models.sngan import SNGANGenerator
+from warpedganspace_tpu.models.support_sets import SupportSets
+from warpedganspace_tpu.train import (
+    TrainStepConfig, init_train_state, make_train_step)
+
+mesh = make_mesh()
+rep = NamedSharding(mesh, P())
+gen = SNGANGenerator.from_gan_type('SNGAN_MNIST')
+K = 2
+S = SupportSets(num_support_sets=K, num_support_dipoles=2,
+                support_vectors_dim=gen.dim_z, learn_gammas=True)
+R = Reconstructor('LeNet', dim=K, channels=1)
+cfg = TrainStepConfig(batch_size=8, num_support_sets=K,
+                      min_shift_magnitude=0.15, max_shift_magnitude=0.25)
+g_params = jax.jit(lambda s: gen.init(jax.random.key(s)), out_shardings=rep)(0)
+G = GeneratorBundle(name='SNGAN_MNIST', dim_z=gen.dim_z, resolution=32,
+                    out_channels=1, params=g_params, apply_fn=gen.apply)
+state = jax.jit(lambda s: init_train_state(jax.random.key(s), G, S, R, cfg),
+                out_shardings=rep)(1)
+key = jax.jit(lambda s: jax.random.key(s), out_shardings=rep)(2)
+step = make_train_step(G, S, R, cfg, mesh=mesh, donate=False)
+for it in (1, 2):
+    state, metrics = step(state, g_params, key, it)
+print('METRICS', json.dumps({{k: float(v) for k, v in metrics.items()}}))
+"""
+
+
+def test_cross_process_train_step_matches_single(tmp_path):
+    """The FULL train step on a 2-process x 2-device global mesh must
+    reproduce the single-device run's metrics: the sample stream is a pure
+    function of (seed, iteration), so cross-process DP-sharded SPMD — with its
+    DCN gradient all-reduce — is numerically equivalent up to reduction
+    order."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "train_worker.py"
+    worker.write_text(_TRAIN_WORKER.format(port=port))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    metrics = []
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i]}"
+        line = [ln for ln in outs[i].splitlines() if ln.startswith("METRICS ")]
+        assert line, f"proc {i} printed no metrics:\n{outs[i]}"
+        metrics.append(json.loads(line[-1][len("METRICS "):]))
+
+    # Single-device run of the identical seeds in THIS process.
+    import jax
+
+    from warpedganspace_tpu.models.api import GeneratorBundle
+    from warpedganspace_tpu.models.reconstructor import Reconstructor
+    from warpedganspace_tpu.models.sngan import SNGANGenerator
+    from warpedganspace_tpu.models.support_sets import SupportSets
+    from warpedganspace_tpu.train import (
+        TrainStepConfig, init_train_state, make_train_step)
+
+    gen = SNGANGenerator.from_gan_type("SNGAN_MNIST")
+    K = 2
+    S = SupportSets(num_support_sets=K, num_support_dipoles=2,
+                    support_vectors_dim=gen.dim_z, learn_gammas=True)
+    R = Reconstructor("LeNet", dim=K, channels=1)
+    cfg = TrainStepConfig(batch_size=8, num_support_sets=K,
+                          min_shift_magnitude=0.15, max_shift_magnitude=0.25)
+    g_params = gen.init(jax.random.key(0))
+    G = GeneratorBundle(name="SNGAN_MNIST", dim_z=gen.dim_z, resolution=32,
+                        out_channels=1, params=g_params, apply_fn=gen.apply)
+    state = init_train_state(jax.random.key(1), G, S, R, cfg)
+    key = jax.random.key(2)
+    step = make_train_step(G, S, R, cfg, mesh=None, donate=False)
+    for it in (1, 2):
+        state, m = step(state, g_params, key, it)
+    single = {k: float(v) for k, v in m.items()}
+
+    for i, got in enumerate(metrics):
+        for k, v in single.items():
+            np.testing.assert_allclose(got[k], v, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"proc {i} metric {k}")

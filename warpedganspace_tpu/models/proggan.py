@@ -39,13 +39,21 @@ class ProgGANGenerator:
     # ops/s2d.py) or "nhwc" (plain).
     tail_layout: str = "s2d"
 
-    def init(self, key: jax.Array) -> dict:
-        """Random init (test use; real use converts the pretrained .pth)."""
-        channels = [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 256, 128,
-                    128, 64, 64, 32, 32, 16, 16]
-        keys = jax.random.split(key, len(_BLOCK_SPECS) + 1)
+    def init(self, key: jax.Array, channels=None) -> dict:
+        """Random init (test use; real use converts the pretrained .pth).
+
+        ``channels`` overrides the reference 1024^2 channel chain (length N+1
+        for N feature blocks; ``apply`` derives depth — and therefore output
+        resolution — from the params tree, so a short chain yields a small
+        generator: tests and the multichip dryrun use this). ``channels[0]``
+        must equal ``dim_z``."""
+        if channels is None:
+            channels = [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 256,
+                        128, 128, 64, 64, 32, 32, 16, 16]
+        specs = _BLOCK_SPECS[: len(channels) - 1]
+        keys = jax.random.split(key, len(specs) + 1)
         blocks = []
-        for i, (k, _, _) in enumerate(_BLOCK_SPECS):
+        for i, (k, _, _) in enumerate(specs):
             cin, cout = channels[i], channels[i + 1]
             blocks.append(
                 {
@@ -55,9 +63,10 @@ class ProgGANGenerator:
                 }
             )
         out = {
-            "conv": {"w": jax.random.normal(keys[-1], (1, 1, 16, 3)) * 0.02},
+            "conv": {"w": jax.random.normal(
+                keys[-1], (1, 1, channels[-1], self.image_channels)) * 0.02},
             "wscale_scale": jnp.ones((1,)),
-            "wscale_bias": jnp.zeros((3,)),
+            "wscale_bias": jnp.zeros((self.image_channels,)),
         }
         return {"blocks": blocks, "out": out}
 
