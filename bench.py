@@ -491,6 +491,38 @@ def _measure_cli_e2e(raw_render_rate):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _measure_attribute_stage():
+    """Attribute-stage e2e throughput (K=8 paths x T=41 frames, 1024^2 JPEGs,
+    all six predictors through evaluate_hash_dir — decode, SFD+NMS, device
+    crops, predictor stream, eval_np writes). Uses the same synthetic-tree +
+    random-weights recipe as scripts/measure_attribute_stage.py."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.abspath(__file__)), "scripts"))
+    from measure_attribute_stage import K, T, build_tree, random_predictors
+
+    import numpy as np
+
+    from warpedganspace_tpu.cli.traverse_attribute_space import evaluate_hash_dir
+
+    tmp = tempfile.mkdtemp(prefix="wgs_bench_attr_")
+    try:
+        h_dir = build_tree(tmp, np.random.RandomState(3))
+        predictors = random_predictors()
+        evaluate_hash_dir(h_dir, predictors, gan_type="StyleGAN2")  # warm
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            evaluate_hash_dir(h_dir, predictors, gan_type="StyleGAN2")
+            best = max(best, K * T / (time.perf_counter() - t0))
+        print(f"[bench-attr] attribute stage e2e (K={K}, T={T}): {best:.2f} img/s",
+              file=sys.stderr, flush=True)
+        return {"attribute_stage_images_per_sec": best}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _measure_reference_baseline():
     """Measure the reference PyTorch StyleGAN2 traversal render on this host.
 
@@ -537,6 +569,10 @@ def main():
             results["stylegan2_1024_traversal_images_per_sec"]))
     except Exception as e:  # the CLI e2e sweep is best-effort
         results["cli_e2e_error"] = str(e)
+    try:
+        results.update(_measure_attribute_stage())
+    except Exception as e:  # best-effort (needs torch + /root/reference)
+        results["attribute_stage_error"] = str(e)
     try:
         baseline = _measure_reference_baseline()
         ref = baseline["reference_images_per_sec"]

@@ -261,3 +261,38 @@ def test_native_nms_matches_numpy():
             ovr = w * h / (areas[i] + areas[order[1:]] - w * h)
             order = order[np.where(ovr <= 0.3)[0] + 1]
         assert got == keep, trial
+
+
+def test_device_crop_resize_matches_host_chain():
+    """The device-side fused crop+resize (evalzoo/crop_resize.py) must
+    reproduce the host chain crop_face -> resize_shorter -> center_crop
+    (cv2 INTER_LINEAR) for a spread of face rectangles: tall, wide, tiny,
+    edge-clamped, the no-detection full-frame default, and upscaled crops."""
+    from warpedganspace_tpu.evalzoo.crop_resize import crop_resize, plan_crop_resize
+    from warpedganspace_tpu.evalzoo.transforms import (
+        crop_face,
+        crop_rect,
+        resize_center,
+    )
+
+    rng = np.random.RandomState(0)
+    T, H, W = 7, 256, 256
+    frames = (rng.rand(T, H, W, 3) * 255).astype(np.float32)
+    bboxes = [
+        [0, 0, 256, 256],        # no-detection default
+        [40, 60, 200, 220],      # typical face
+        [10, 10, 30, 250],       # tall sliver
+        [10, 10, 250, 30],       # wide sliver
+        [120, 120, 135, 140],    # tiny (upscale path)
+        [200, 200, 256, 256],    # corner, margin-clamped
+        [0, 0, 64, 64],          # small corner box
+    ]
+    for padding, size in ((0.0, 224), (0.25, 224), (0.0, 256)):
+        rects = [crop_rect(b, H, W, padding) for b in bboxes]
+        got = np.asarray(crop_resize(jnp.asarray(frames), plan_crop_resize(rects, size)))
+        want = np.stack([
+            resize_center(crop_face(frames, t, b, padding)[None], size)[0]
+            for t, b in enumerate(bboxes)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3,
+                                   err_msg=f"padding={padding} size={size}")

@@ -57,21 +57,24 @@ def normalize_imagenet(batch_nhwc: np.ndarray) -> np.ndarray:
     return (batch_nhwc - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def crop_rect(bbox, src_h: int, src_w: int, padding: float = 0.0):
+    """The reference's crop_face rectangle (traverse_attribute_space.py:37-58)
+    with its fixed -50/+50/+30 margins and its transposed x/y indexing quirk
+    (x slices the height axis, y the width axis; the reference clamps x to
+    dim 2 and y to dim 3 of NCHW == H and W). Returns (x0, x1, y0, y1)."""
+    x_min = int((1.0 - padding) * bbox[0]) - 50
+    y_min = int((1.0 - padding) * bbox[1]) - 50
+    x_max = int((1.0 + padding) * bbox[2]) + 50
+    y_max = int((1.0 + padding) * bbox[3]) + 30
+    x0 = max(x_min, 0)
+    y0 = max(y_min, 0)
+    x1 = min(src_h, x_max)
+    y1 = min(src_w, y_max)
+    return x0, x1, y0, y1
+
+
 def crop_face(images_nhwc: np.ndarray, idx: int, bbox, padding: float = 0.0) -> np.ndarray:
-    """Crop one face with the reference's fixed margins and its transposed
-    indexing quirk (x sliced on the height axis, y on the width axis —
-    traverse_attribute_space.py:37-58)."""
-    x_min = int((1.0 - padding) * bbox[0])
-    y_min = int((1.0 - padding) * bbox[1])
-    x_max = int((1.0 + padding) * bbox[2])
-    y_max = int((1.0 + padding) * bbox[3])
-    x_min -= 50
-    x_max += 50
-    y_min -= 50
-    y_max += 30
-    x_min = max(x_min, 0)
-    y_min = max(y_min, 0)
-    # Reference clamps x to dim 2 and y to dim 3 of NCHW == H and W here.
-    x_max = min(images_nhwc.shape[1], x_max)
-    y_max = min(images_nhwc.shape[2], y_max)
-    return images_nhwc[idx, int(x_min) : int(x_max), int(y_min) : int(y_max), :]
+    """Crop one face (host slicing form of :func:`crop_rect`)."""
+    x0, x1, y0, y1 = crop_rect(bbox, images_nhwc.shape[1], images_nhwc.shape[2],
+                               padding)
+    return images_nhwc[idx, x0:x1, y0:y1, :]
