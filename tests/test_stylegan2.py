@@ -311,3 +311,23 @@ def test_out_layout_s2d_matches_nhwc():
         b = gen.apply(params, z, out_layout="s2d")
         assert b.shape == (2, 128, 128, 12)
         np.testing.assert_allclose(b, to_s2d(a), atol=1e-6)
+
+
+def test_apply_head_tail_split_exact():
+    """apply_head + apply_tail must reproduce apply bit-exactly at every
+    legal split point (the train step's low-res fusion relies on this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    for wspace in (True, False):
+        gen = StyleGAN2Generator(resolution=64, n_mlp=2, shift_in_w_space=wspace)
+        p = gen.init(jax.random.key(0))
+        z = jax.random.normal(jax.random.key(1), (2, 512))
+        s = 0.1 * jax.random.normal(jax.random.key(2), (2, 512))
+        want = gen.apply(p, z, s)
+        for stop_res in (8, 16, 32):
+            got = gen.apply_tail(p, gen.apply_head(p, z, s, stop_res=stop_res),
+                                 stop_res=stop_res)
+            assert float(jnp.max(jnp.abs(got - want))) == 0.0, (wspace, stop_res)

@@ -494,10 +494,30 @@ class StyleGAN2Generator:
             else:
                 noise = params["noises"]
 
-        ch = channels_dict(self.channel_multiplier)
         out = jnp.tile(params["const_input"], (b, 1, 1, 1))
         out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
+        out, skip, fmt = self._synth_range(
+            params, latent, noise, out, skip, 0, len(params["to_rgbs"]), "NHWC")
+        if fmt == "NCHW":
+            skip = jnp.transpose(skip, (0, 2, 3, 1))
+        elif fmt == "S2D":
+            if out_layout == "s2d":
+                return skip
+            skip = s2d_ops.from_s2d(skip)
+        if out_layout == "s2d":
+            # Tail never entered S2D (small resolutions / nchw layout): pay
+            # one transpose so the contract holds everywhere.
+            skip = s2d_ops.to_s2d(skip)
+        return skip
+
+    def _synth_range(self, params, latent, noise, out, skip, idx_lo, idx_hi, fmt):
+        """Run synthesis blocks [idx_lo, idx_hi) carrying (out, skip, fmt).
+
+        The head/tail split used by the train step's low-res batch fusion
+        re-enters here; ``fmt`` at a given idx is a pure function of the
+        resolution schedule, so resuming mid-stream is exact."""
+        ch = channels_dict(self.channel_multiplier)
 
         def make_block(remat_this):
             def block(block_params, out, skip, lat3, n1, n2, fmt, entry):
@@ -524,9 +544,8 @@ class StyleGAN2Generator:
 
         blocks = {True: make_block(True), False: make_block(False)}
 
-        i = 1
-        fmt = "NHWC"
-        for idx in range(len(params["to_rgbs"])):
+        i = 1 + 2 * idx_lo
+        for idx in range(idx_lo, idx_hi):
             res = 2 ** (idx + 3)
             entry = False
             # Re-lay-out the <128-channel tail: NHWC pads C to the 128-wide
@@ -551,6 +570,56 @@ class StyleGAN2Generator:
                 noise[2 * idx + 1], noise[2 * idx + 2], fmt, entry,
             )
             i += 2
+        return out, skip, fmt
+
+    # ----------------------------------------------------- head/tail split
+    # The train step runs TWO forwards per iteration (G(z), G(z, shift)). At
+    # the reference bs=12 the low-resolution blocks underfill the chip; the
+    # head/tail split lets the step batch both forwards' heads as ONE 2B pass
+    # (better occupancy, one dispatch chain) and then split for the expensive
+    # high-res tail — whose backward must stay at B (the NOTES.md-rejected
+    # full-2B fusion differentiates the whole 2B batch; the head is cheap
+    # enough that its 2B backward is noise).
+
+    def _head_idx(self, stop_res: int) -> int:
+        ch = channels_dict(self.channel_multiplier)
+        idx_hi = int(math.log2(stop_res)) - 2  # blocks cover res 8..stop_res
+        if not 0 <= idx_hi <= len(range(3, self.log_size + 1)):
+            raise ValueError(f"stop_res {stop_res} out of range")
+        if any(ch[2 ** (i + 3)] < 128 for i in range(idx_hi)):
+            raise ValueError(
+                f"stop_res {stop_res} crosses the tail-layout transition")
+        return idx_hi
+
+    def apply_head(self, params: dict, z: jax.Array, shift=None,
+                   latent_is_w: bool = False, stop_res: int = 64):
+        """``apply`` up to (and including) the ``stop_res`` block: returns the
+        (out, skip, latent) carry that ``apply_tail`` resumes from."""
+        if self.shift_in_w_space:
+            w = z if latent_is_w else self.style(params, z)
+            if shift is not None:
+                w = w + shift
+        else:
+            if shift is not None:
+                z = z + shift
+            w = self.style(params, z)
+        latent = jnp.repeat(w[:, None, :], self.n_latent, axis=1)
+        noise = params["noises"]
+        b = z.shape[0]
+        out = jnp.tile(params["const_input"], (b, 1, 1, 1))
+        out = styled_conv(params["conv1"], out, latent[:, 0], noise[0])
+        skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
+        out, skip, _ = self._synth_range(
+            params, latent, noise, out, skip, 0, self._head_idx(stop_res), "NHWC")
+        return out, skip, latent
+
+    def apply_tail(self, params: dict, head_state, stop_res: int = 64,
+                   out_layout: str = "nhwc"):
+        """Resume from an ``apply_head`` carry and finish the synthesis."""
+        out, skip, latent = head_state
+        out, skip, fmt = self._synth_range(
+            params, latent, params["noises"], out, skip,
+            self._head_idx(stop_res), len(params["to_rgbs"]), "NHWC")
         if fmt == "NCHW":
             skip = jnp.transpose(skip, (0, 2, 3, 1))
         elif fmt == "S2D":
@@ -558,8 +627,6 @@ class StyleGAN2Generator:
                 return skip
             skip = s2d_ops.from_s2d(skip)
         if out_layout == "s2d":
-            # Tail never entered S2D (small resolutions / nchw layout): pay
-            # one transpose so the contract holds everywhere.
             skip = s2d_ops.to_s2d(skip)
         return skip
 
