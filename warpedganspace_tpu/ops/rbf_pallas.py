@@ -38,6 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 from warpedganspace_tpu.ops import rbf
 
 _ROW_BLOCK = 256  # z rows per grid step; bounds VMEM temps to (256, 2N)
+_SET_BLOCK = 4    # sets per grid step. Measured at the traversal pattern
+                  # (K=200, 32 codes, bf16 sets, v5e): kb=1/2/4 -> 0.471 /
+                  # 0.483 / 0.463 ms — grid-step overhead is NOT the limiter;
+                  # the kernel already streams sv at ~450 GB/s, ABOVE what a
+                  # plain XLA 210 MB reduce achieves on this chip (217-350
+                  # GB/s), i.e. at the practical HBM ceiling. kb=4 kept for
+                  # the marginal win; the bf16 sv block (4 MB, double-
+                  # buffered) fits VMEM (~16 MB) comfortably.
 
 
 def _round_up(x: int, m: int) -> int:
@@ -98,60 +106,75 @@ def prepare_warp_sets(support_sets, alphas, gammas, dtype=None) -> WarpSets:
 
 
 def _warp_kernel(sv_ref, g_ref, ag_ref, svsq_ref, z_ref, out_ref):
-    """One grid step: directions of set k at one row-block of z.
+    """One grid step: directions of a KB-set block at one row-block of z.
 
-    Blocks: sv (1, 2N, d), g/ag/svsq (1, 1, 2N), z/out (1, NB, d). Both
-    matmuls hit the MXU (native bf16 throughput when sv is stored bf16);
-    everything between them stays in VMEM/registers.
+    Blocks: sv (KB, 2N, d), g/ag/svsq (KB, 1, 2N), z/out (KB, NB, d). Both
+    matmuls are KB-batched on the MXU (native bf16 throughput when sv is
+    stored bf16); everything between them stays in VMEM/registers.
     """
-    sv = sv_ref[0]                       # (2N, d) f32 or bf16
-    g = g_ref[0]                         # (1, 2N)
-    ag = ag_ref[0]                       # (1, 2N)
-    svsq = svsq_ref[0]                   # (1, 2N) f32 (exact)
-    z = z_ref[0]                         # (NB, d) f32
+    sv = sv_ref[...]                     # (KB, 2N, d) f32 or bf16
+    g = g_ref[...]                       # (KB, 1, 2N)
+    ag = ag_ref[...]                     # (KB, 1, 2N)
+    svsq = svsq_ref[...]                 # (KB, 1, 2N) f32 (exact)
+    z = z_ref[...]                       # (KB, NB, d) f32
     zc = z.astype(sv.dtype)
 
-    zsq = jnp.sum(z * z, axis=1, keepdims=True)            # (NB, 1)
+    zsq = jnp.sum(z * z, axis=2, keepdims=True)            # (KB, NB, 1)
     cross = jax.lax.dot_general(
-        zc, sv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )                                    # (NB, 2N) — MXU pass 1
+        zc, sv, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                    # (KB, NB, 2N) — MXU pass 1
     d2 = zsq - 2.0 * cross + svsq
-    w = ag * jnp.exp(-g * d2)            # (NB, 2N) — VPU, f32
-    wsum = jnp.sum(w, axis=1, keepdims=True)               # (NB, 1)
-    grad = -2.0 * wsum * z + 2.0 * jnp.dot(
-        w.astype(sv.dtype), sv, preferred_element_type=jnp.float32
-    )                                    # (NB, d) — MXU pass 2, same sv block
-    n2 = jnp.sum(grad * grad, axis=1, keepdims=True)
-    out_ref[0] = grad * jax.lax.rsqrt(n2)
+    w = ag * jnp.exp(-g * d2)            # (KB, NB, 2N) — VPU, f32
+    wsum = jnp.sum(w, axis=2, keepdims=True)               # (KB, NB, 1)
+    grad = -2.0 * wsum * z + 2.0 * jax.lax.dot_general(
+        w.astype(sv.dtype), sv, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                    # (KB, NB, d) — MXU pass 2, same block
+    n2 = jnp.sum(grad * grad, axis=2, keepdims=True)
+    out_ref[...] = grad * jax.lax.rsqrt(n2)
 
 
-def _fused_impl(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
+def _fused_impl(ws: WarpSets, z_kn: jax.Array, set_block: int | None = None) -> jax.Array:
     """Raw kernel launch. z_kn (K, N, d_true) -> (K, N, d_true) directions."""
     k, n, d = z_kn.shape
     d_pad = ws.sv.shape[2]
     n2 = ws.sv.shape[1]
     nb = min(_ROW_BLOCK, _round_up(n, 8))
     n_pad = _round_up(n, nb)
-    z = jnp.pad(z_kn, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
+    # Set-block size: bounded by K and by VMEM (the double-buffered sv block
+    # is kb * 2N * d * itemsize * 2; cap the block at ~8 MB).
+    kb = set_block if set_block is not None else _SET_BLOCK
+    kb = max(1, min(kb, k, (8 << 20) // max(1, n2 * d_pad * ws.sv.dtype.itemsize)))
+    k_pad = _round_up(k, kb)
+    z = jnp.pad(z_kn, ((0, k_pad - k), (0, n_pad - n), (0, d_pad - d)))
+    sv, g_row, ag_row, svsq_row = ws.sv, ws.g_row, ws.ag_row, ws.svsq_row
+    if k_pad != k:
+        # Padded sets have alpha*gamma = 0 -> zero gradient -> rsqrt(0) rows;
+        # they are sliced off below, matching the padded-z-row convention.
+        sv = jnp.pad(sv, ((0, k_pad - k), (0, 0), (0, 0)))
+        g_row = jnp.pad(g_row, ((0, k_pad - k), (0, 0), (0, 0)))
+        ag_row = jnp.pad(ag_row, ((0, k_pad - k), (0, 0), (0, 0)))
+        svsq_row = jnp.pad(svsq_row, ((0, k_pad - k), (0, 0), (0, 0)))
 
-    grid = (k, n_pad // nb)  # row-blocks minor => sv block resident per k
+    grid = (k_pad // kb, n_pad // nb)  # row-blocks minor => sv block resident
     out = pl.pallas_call(
         _warp_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n2, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, n2, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, 1, n2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (kb, nb, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((k, n_pad, d_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, n_pad, d_pad), jnp.float32),
         interpret=_interpret(),
-    )(ws.sv, ws.g_row, ws.ag_row, ws.svsq_row, z)
-    return out[:, :n, :d]
+    )(sv, g_row, ag_row, svsq_row, z)
+    return out[:k, :n, :d]
 
 
 def _jnp_kn(ws: WarpSets, z_kn: jax.Array) -> jax.Array:
