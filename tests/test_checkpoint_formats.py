@@ -1,0 +1,155 @@
+"""Checkpoint FILE-FORMAT faithfulness: ``build_gan`` against on-disk .pt
+payloads shaped like the real pretrained artifacts.
+
+The random-weight parity tests feed converters the torch module's own clean
+``state_dict()``; the real downloads differ structurally — StyleGAN2 ships a
+full training checkpoint (``torch.load(...)['g_ema']`` plus sibling 'g'/'d'/
+'latent_avg' keys, loaded strict=False — reference models/gan_load.py:186),
+SNGAN's file carries extra spectral-norm buffers (strict=False, :55), BigGAN
+and ProgGAN are plain strict state dicts (:99, :128). These tests save
+payloads with exactly those structures at the ``GAN_WEIGHTS`` layout under a
+temp ``weights_root`` and run the REAL ``build_gan`` loader path end-to-end
+(``pytest -m weights`` then only has to prove pixel values, not plumbing).
+"""
+import os.path as osp
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.reference_utils import import_reference_module, state_dict_numpy, torch_or_skip
+from warpedganspace_tpu.config import GAN_WEIGHTS
+
+
+def _save_sd(torch, tmp_path, gan_type, payload, resolution=None):
+    from warpedganspace_tpu.config import GAN_RESOLUTIONS
+
+    res = resolution if resolution is not None else GAN_RESOLUTIONS[gan_type]
+    rel = GAN_WEIGHTS[gan_type]["weights"][res]
+    path = tmp_path / rel
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save(payload, str(path))
+    return str(tmp_path)
+
+
+def test_sngan_checkpoint_with_extra_sn_buffers(tmp_path):
+    """SNGAN: the real file loads strict=False (extra spectral-norm buffers
+    must be ignored, reference gan_load.py:55) — and the loaded generator
+    must match the reference torch output."""
+    torch = torch_or_skip()
+    sn_mod = import_reference_module("models.SNGAN.sn_gen_resnet")
+    dist_mod = import_reference_module("models.SNGAN.distribution")
+
+    torch.manual_seed(0)
+    G = sn_mod.make_resnet_generator(
+        sn_mod.SN_RES_GEN_CONFIGS["sn_resnet32"], img_size=32, channels=1,
+        distribution=dist_mod.NormalDistribution(128)).eval()
+    sd = {k: torch.as_tensor(v) for k, v in state_dict_numpy(G).items()}
+    # Structural extras the strict=False load tolerates in the real artifact.
+    sd["model.2.conv1.weight_u"] = torch.randn(256)
+    sd["model.2.conv1.weight_v"] = torch.randn(256 * 9)
+    sd["discriminator.fc.weight"] = torch.randn(1, 128)
+
+    root = _save_sd(torch, tmp_path, "SNGAN_MNIST", sd)
+    from warpedganspace_tpu.models.gan_load import build_gan
+
+    B = build_gan(gan_type="SNGAN_MNIST", weights_root=root,
+                  allow_random_init=False)
+    z = np.random.RandomState(0).randn(2, 128).astype(np.float32)
+    ours = np.asarray(B.apply(B.params, jnp.asarray(z)))
+    with torch.no_grad():
+        # GenWrapper.forward takes a batch SIZE; feed z through .model directly
+        # (the reference SNGANWrapper does the same, gan_load.py:21-28).
+        ref = G.model(torch.from_numpy(z)).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stylegan2_full_training_checkpoint_g_ema(tmp_path):
+    """StyleGAN2: the real artifact is a full training checkpoint; the loader
+    must take the ``g_ema`` payload and ignore the siblings (reference
+    gan_load.py:186: torch.load(...)['g_ema'], strict=False)."""
+    torch = torch_or_skip()
+    from tests.test_stylegan2 import _install_op_stub
+
+    _install_op_stub(torch)
+    RefG = import_reference_module("models.StyleGAN2.model").Generator
+
+    torch.manual_seed(0)
+    G = RefG(256, 512, 2).eval()
+    ckpt = {
+        "g_ema": {k: torch.as_tensor(v) for k, v in state_dict_numpy(G).items()},
+        "g": {"dummy": torch.zeros(1)},
+        "d": {"dummy": torch.zeros(1)},
+        "latent_avg": torch.zeros(512),
+    }
+    root = _save_sd(torch, tmp_path, "StyleGAN2", ckpt, resolution=256)
+    from warpedganspace_tpu.models.gan_load import build_gan
+
+    B = build_gan(gan_type="StyleGAN2", stylegan2_resolution=256,
+                  shift_in_w_space=True, weights_root=root,
+                  allow_random_init=False)
+    # n_mlp differs from the bundle default (2-layer test mapping): compare
+    # the converted leaves against a direct conversion of the clean sd.
+    from warpedganspace_tpu.convert.stylegan2 import stylegan2_params_from_state_dict
+
+    want = stylegan2_params_from_state_dict(state_dict_numpy(G), 256)
+    got_leaf = np.asarray(B.params["convs"][0]["w"])
+    np.testing.assert_array_equal(got_leaf, np.asarray(want["convs"][0]["w"]))
+    assert len(B.params["mapping"]) == len(want["mapping"])
+
+
+def test_proggan_plain_state_dict_file(tmp_path):
+    """ProgGAN: plain strict state-dict file at the snapshot filename
+    (reference gan_load.py:128)."""
+    torch = torch_or_skip()
+    RefG = import_reference_module("models.ProgGAN.model").Generator
+
+    torch.manual_seed(0)
+    G = RefG().eval()
+    sd = {k: torch.as_tensor(v) for k, v in state_dict_numpy(G).items()}
+    root = _save_sd(torch, tmp_path, "ProgGAN", sd)
+    from warpedganspace_tpu.models.gan_load import build_gan
+
+    B = build_gan(gan_type="ProgGAN", weights_root=root, allow_random_init=False)
+    assert len(B.params["blocks"]) == 18
+    got = np.asarray(B.params["blocks"][0]["conv"]["w"])
+    want = state_dict_numpy(G)["features.0.conv.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_biggan_g_ema_pth_file(tmp_path):
+    """BigGAN: strict Generator state dict saved as G_ema.pth (reference
+    gan_load.py:99); SN sigma must be folded from the stored u0/sv0 state."""
+    torch = torch_or_skip()
+    BigGAN = import_reference_module("models.BigGAN.BigGAN")
+    utils = import_reference_module("models.BigGAN.utils")
+    import json
+
+    with open("/root/reference/models/BigGAN/generator_config.json") as f:
+        config = json.load(f)
+    config["resolution"] = utils.imsize_dict[config["dataset"]]
+    config["n_classes"] = utils.nclass_dict[config["dataset"]]
+    config["G_activation"] = utils.activation_dict[config["G_nl"]]
+    config["D_activation"] = utils.activation_dict[config["D_nl"]]
+    config["skip_init"] = True
+    config["no_optim"] = True
+    torch.manual_seed(0)
+    G = BigGAN.Generator(**config).eval()
+    sd = {k: torch.as_tensor(v) for k, v in state_dict_numpy(G).items()}
+    root = _save_sd(torch, tmp_path, "BigGAN", sd)
+    from warpedganspace_tpu.models.gan_load import build_gan
+
+    B = build_gan(gan_type="BigGAN", target_classes=[239], weights_root=root,
+                  allow_random_init=False)
+    assert B.dim_z == 120 and B.resolution == 128
+    # The file round-trip must yield exactly the direct conversion (which is
+    # itself parity-tested against the reference forward in test_biggan),
+    # i.e. torch.save/load changes nothing and SN sigma folds from u0.
+    from warpedganspace_tpu.convert.biggan import biggan_params_from_state_dict
+
+    want = biggan_params_from_state_dict(state_dict_numpy(G))
+    got = np.asarray(B.params["linear"]["w"])
+    np.testing.assert_array_equal(got, np.asarray(want["linear"]["w"]))
+    assert (np.asarray(B.params["shared_embed"]).shape
+            == np.asarray(want["shared_embed"]).shape)
