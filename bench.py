@@ -32,7 +32,10 @@ import warnings
 # CALLING module, so match our own modules too (not torch/PIL, which are only
 # used for the baseline measurement and IO).
 warnings.filterwarnings(
-    "error", category=FutureWarning, module=r"(jax|warpedganspace_tpu)(\..*)?$|bench$"
+    "error", category=FutureWarning,
+    # __main__ covers bench.py run as a script (the documented entry point);
+    # bench covers it imported (e.g. under pytest).
+    module=r"(jax|warpedganspace_tpu)(\..*)?$|bench$|__main__$",
 )
 
 BASELINE_CACHE = osp.join(osp.dirname(osp.abspath(__file__)), "BENCH_BASELINE.json")
@@ -119,7 +122,10 @@ def _measure_tpu():
     jax.block_until_ready(params)
     log("params initialized")
 
-    probes = [_probe_tflops(log)]
+    # The probe (and its healthy reference) is only meaningful on a TPU;
+    # elsewhere it would burn minutes of matmul for a discarded value.
+    is_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    probes = [_probe_tflops(log)] if is_tpu else [0.0]
 
     # --- traversal render throughput (the headline) ------------------------
     @jax.jit
@@ -197,7 +203,8 @@ def _measure_tpu():
         log(f"bf16 render failed: {e}")
         bf16_images_per_sec, bf16_psnr, bf16_spread = 0.0, 0.0, 0.0
 
-    probes.append(_probe_tflops(log))
+    if is_tpu:
+        probes.append(_probe_tflops(log))
 
     f32_images_per_sec = images_per_sec
     if bf16_psnr > 40.0 and bf16_images_per_sec > images_per_sec:
@@ -257,7 +264,7 @@ def _measure_tpu():
             f"best of {n}, spread {pallas_spread:.1%})")
     except Exception as e:
         log(f"pallas warp failed: {e}")
-        pallas_evals_per_sec = 0.0
+        pallas_evals_per_sec, pallas_spread = 0.0, 0.0
 
     # --- full train step/sec (SNGAN_MNIST reference config, bs=128) --------
     from warpedganspace_tpu.models.api import GeneratorBundle
@@ -335,9 +342,9 @@ def _measure_tpu():
         log(f"flagship train step failed: {e}")
         flagship_steps_per_sec, flagship_spread = 0.0, 0.0
 
-    probes.append(_probe_tflops(log))
+    if is_tpu:
+        probes.append(_probe_tflops(log))
     probe_best = max(probes)
-    is_tpu = jax.devices()[0].platform in ("tpu", "axon")
     degraded = bool(is_tpu and probe_best < DEGRADED_FRACTION * EXPECTED_PROBE_TFLOPS)
     if degraded:
         log(f"DEGRADED DEVICE: probe {probe_best:.1f} TFLOP/s < "
@@ -357,6 +364,7 @@ def _measure_tpu():
             "render_f32": f32_spread,
             "render_bf16": bf16_spread,
             "warp_jnp": warp_spread,
+            "warp_pallas": pallas_spread,
             "sngan_train": sngan_spread,
             "flagship_train": flagship_spread,
         },

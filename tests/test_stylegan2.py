@@ -331,3 +331,20 @@ def test_apply_head_tail_split_exact():
             got = gen.apply_tail(p, gen.apply_head(p, z, s, stop_res=stop_res),
                                  stop_res=stop_res)
             assert float(jnp.max(jnp.abs(got - want))) == 0.0, (wspace, stop_res)
+
+    # nhwc tail never transitions fmt, so splits past the <128-channel
+    # boundary (res 256 at cm=1: 64 channels) are legal there — and only
+    # there: the s2d layout must reject them.
+    gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1,
+                             tail_layout="nhwc")
+    p = gen.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 512))
+    want = gen.apply(p, z)
+    got = gen.apply_tail(p, gen.apply_head(p, z, stop_res=256), stop_res=256)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+    gen_s2d = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="transition"):
+        gen_s2d.apply_head(p, z, stop_res=256)

@@ -18,8 +18,6 @@ import numpy as np
 from warpedganspace_tpu.evalzoo import load as zoo
 from warpedganspace_tpu.evalzoo.crop_resize import crop_resize, plan_crop_resize
 from warpedganspace_tpu.evalzoo.transforms import (
-    IMAGENET_MEAN,
-    IMAGENET_STD,
     crop_rect,
     normalize_imagenet,
     resize_center,
@@ -120,9 +118,6 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
     num_of_paths = paths_latent_codes.shape[0]
     num_per_path = paths_latent_codes.shape[1]
     path_images_dir = osp.join(h_dir, "paths_images")
-    imnet_mean = jnp.asarray(IMAGENET_MEAN)
-    imnet_std = jnp.asarray(IMAGENET_STD)
-
     dicts = {k: {} for k in (
         "face_bbox", "id", "gender", "age", "race", "pose", "aus",
         "celeba_bangs", "celeba_eyeglasses", "celeba_beard", "celeba_smiling", "celeba_age",
@@ -207,7 +202,7 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
                 crops = crop_resize(f256_dev, plan_crop_resize(rects, size))
                 return crops / 255.0 if divide else crops
 
-            ff_in = (cropped_batch(224, 0.25, divide=True) - imnet_mean) / imnet_std
+            ff_in = normalize_imagenet(cropped_batch(224, 0.25, divide=True))
             outputs = np.asarray(predictors["fairface"](ff_in))
 
             gender = np.exp(outputs[:, 7:9])
@@ -228,7 +223,7 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             dicts["race"][d] = race_pred.tolist()
 
             # --- pose (:475-504) -------------------------------------------------
-            hp_in = (cropped_batch(224, 0.0, divide=True) - imnet_mean) / imnet_std
+            hp_in = normalize_imagenet(cropped_batch(224, 0.0, divide=True))
             yaw_l, pitch_l, roll_l = predictors["hopenet"](hp_in)
             yaw_deg = np.asarray(Hopenet.angles_deg(yaw_l))
             pitch_deg = np.asarray(Hopenet.angles_deg(pitch_l))

@@ -347,6 +347,23 @@ def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC", entry: bool = False)
     return out
 
 
+def _finish_skip(skip, fmt: str, out_layout: str):
+    """Synthesis epilogue: convert the accumulated RGB skip from the tail's
+    internal fmt to the requested output layout (shared by ``synthesis`` and
+    ``apply_tail`` so the head/tail split and the straight path can't drift)."""
+    if fmt == "NCHW":
+        skip = jnp.transpose(skip, (0, 2, 3, 1))
+    elif fmt == "S2D":
+        if out_layout == "s2d":
+            return skip
+        skip = s2d_ops.from_s2d(skip)
+    if out_layout == "s2d":
+        # Tail never entered S2D (small resolutions / nchw layout): pay one
+        # transpose so the contract holds everywhere.
+        skip = s2d_ops.to_s2d(skip)
+    return skip
+
+
 @dataclasses.dataclass(frozen=True)
 class StyleGAN2Generator:
     resolution: int = 1024
@@ -499,17 +516,7 @@ class StyleGAN2Generator:
         skip = to_rgb(params["to_rgb1"], out, latent[:, 1])
         out, skip, fmt = self._synth_range(
             params, latent, noise, out, skip, 0, len(params["to_rgbs"]), "NHWC")
-        if fmt == "NCHW":
-            skip = jnp.transpose(skip, (0, 2, 3, 1))
-        elif fmt == "S2D":
-            if out_layout == "s2d":
-                return skip
-            skip = s2d_ops.from_s2d(skip)
-        if out_layout == "s2d":
-            # Tail never entered S2D (small resolutions / nchw layout): pay
-            # one transpose so the contract holds everywhere.
-            skip = s2d_ops.to_s2d(skip)
-        return skip
+        return _finish_skip(skip, fmt, out_layout)
 
     def _synth_range(self, params, latent, noise, out, skip, idx_lo, idx_hi, fmt):
         """Run synthesis blocks [idx_lo, idx_hi) carrying (out, skip, fmt).
@@ -586,7 +593,12 @@ class StyleGAN2Generator:
         idx_hi = int(math.log2(stop_res)) - 2  # blocks cover res 8..stop_res
         if not 0 <= idx_hi <= len(range(3, self.log_size + 1)):
             raise ValueError(f"stop_res {stop_res} out of range")
-        if any(ch[2 ** (i + 3)] < 128 for i in range(idx_hi)):
+        # With an 'nhwc' tail fmt never transitions, so any split is exact;
+        # the s2d/nchw layouts switch fmt at the first <128-channel block and
+        # the head must end before that.
+        if self.tail_layout != "nhwc" and any(
+            ch[2 ** (i + 3)] < 128 for i in range(idx_hi)
+        ):
             raise ValueError(
                 f"stop_res {stop_res} crosses the tail-layout transition")
         return idx_hi
@@ -620,15 +632,7 @@ class StyleGAN2Generator:
         out, skip, fmt = self._synth_range(
             params, latent, params["noises"], out, skip,
             self._head_idx(stop_res), len(params["to_rgbs"]), "NHWC")
-        if fmt == "NCHW":
-            skip = jnp.transpose(skip, (0, 2, 3, 1))
-        elif fmt == "S2D":
-            if out_layout == "s2d":
-                return skip
-            skip = s2d_ops.from_s2d(skip)
-        if out_layout == "s2d":
-            skip = s2d_ops.to_s2d(skip)
-        return skip
+        return _finish_skip(skip, fmt, out_layout)
 
     def forward(
         self,

@@ -142,10 +142,12 @@ def _fused_impl(ws: WarpSets, z_kn: jax.Array, set_block: int | None = None) -> 
     n2 = ws.sv.shape[1]
     nb = min(_ROW_BLOCK, _round_up(n, 8))
     n_pad = _round_up(n, nb)
-    # Set-block size: bounded by K and by VMEM (the double-buffered sv block
-    # is kb * 2N * d * itemsize * 2; cap the block at ~8 MB).
+    # Set-block size: bounded by K and by VMEM — Mosaic double-buffers the
+    # block across grid steps, so the sv footprint is kb * 2N * d * itemsize
+    # * 2; cap the single-buffer block at ~4 MB (8 MB pipelined) to leave
+    # room for the z/out blocks in ~16 MB of VMEM.
     kb = set_block if set_block is not None else _SET_BLOCK
-    kb = max(1, min(kb, k, (8 << 20) // max(1, n2 * d_pad * ws.sv.dtype.itemsize)))
+    kb = max(1, min(kb, k, (4 << 20) // max(1, n2 * d_pad * ws.sv.dtype.itemsize)))
     k_pad = _round_up(k, kb)
     z = jnp.pad(z_kn, ((0, k_pad - k), (0, n_pad - n), (0, d_pad - d)))
     sv, g_row, ag_row, svsq_row = ws.sv, ws.g_row, ws.ag_row, ws.svsq_row
