@@ -153,3 +153,33 @@ def test_biggan_g_ema_pth_file(tmp_path):
     np.testing.assert_array_equal(got, np.asarray(want["linear"]["w"]))
     assert (np.asarray(B.params["shared_embed"]).shape
             == np.asarray(want["shared_embed"]).shape)
+
+
+def test_download_models_verify_and_extract(tmp_path, monkeypatch, capsys):
+    """download_models.download with a local file:// artifact: retrieve ->
+    sha256 verify -> tar extract into the layout; a corrupted hash must fail
+    hard BEFORE extraction (reference download_models.py:37-47). Offline
+    stand-in for the network path — only the transport differs."""
+    import hashlib
+    import tarfile
+
+    from warpedganspace_tpu.cli.download_models import download
+
+    monkeypatch.chdir(tmp_path)
+    payload = tmp_path / "src" / "SNGAN_MNIST"
+    payload.mkdir(parents=True)
+    (payload / "generator.pt").write_bytes(b"\x00" * 128)
+    tar_path = tmp_path / "artifact.tar"
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(payload, arcname="SNGAN_MNIST")
+    digest = hashlib.sha256(tar_path.read_bytes()).hexdigest()
+    url = "file://" + str(tar_path)
+
+    dest = str(tmp_path / "models" / "pretrained" / "generators")
+    download(url, digest, dest)
+    assert osp.isfile(osp.join(dest, "SNGAN_MNIST", "generator.pt"))
+
+    bad_dest = str(tmp_path / "bad")
+    with pytest.raises(Exception, match="sha256"):
+        download(url, "0" * 64, bad_dest)
+    assert not osp.exists(osp.join(bad_dest, "SNGAN_MNIST"))

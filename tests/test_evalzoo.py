@@ -296,3 +296,35 @@ def test_device_crop_resize_matches_host_chain():
         ])
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3,
                                    err_msg=f"padding={padding} size={size}")
+
+
+def test_device_crop_resize_fuzz_random_rects():
+    """Fuzz: 40 random detector-plausible bboxes across paddings/sizes must
+    match the host chain (guards the plan math's edge handling — truncating
+    resize dims, round() center offsets, border clamps — over a wider space
+    than the hand-picked cases above)."""
+    from warpedganspace_tpu.evalzoo.crop_resize import crop_resize, plan_crop_resize
+    from warpedganspace_tpu.evalzoo.transforms import (
+        crop_face,
+        crop_rect,
+        resize_center,
+    )
+
+    rng = np.random.RandomState(7)
+    H = W = 256
+    frames = (rng.rand(40, H, W, 3) * 255).astype(np.float32)
+    bboxes = []
+    for _ in range(40):
+        x1, y1 = rng.randint(0, 200, 2)
+        bboxes.append([x1, y1, x1 + rng.randint(4, 256 - x1),
+                       y1 + rng.randint(4, 256 - y1)])
+    for padding, size in ((0.0, 224), (0.25, 224), (0.0, 256), (0.1, 112)):
+        rects = [crop_rect(b, H, W, padding) for b in bboxes]
+        got = np.asarray(crop_resize(jnp.asarray(frames),
+                                     plan_crop_resize(rects, size)))
+        want = np.stack([
+            resize_center(crop_face(frames, t, b, padding)[None], size)[0]
+            for t, b in enumerate(bboxes)
+        ])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3,
+                                   err_msg=f"padding={padding} size={size}")

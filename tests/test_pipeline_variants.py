@@ -155,3 +155,55 @@ def test_stylegan2_production_flags_cli(pipeline_env):
     with open(osp.join(exp, "stats.json")) as f:
         stats = json.load(f)
     assert all(np.isfinite(v) for v in stats["2"].values())
+
+
+def test_orbax_multidevice_resume(tmp_path, monkeypatch):
+    """--checkpoint-backend orbax together with --multi-device: an interrupted
+    sharded run must resume from the orbax step (sharding-aware restore,
+    trainer.py abstract-with-sharding path) and finish with the same stats a
+    straight-through multi-device run produces."""
+    pytest.importorskip("orbax.checkpoint")
+    import json
+    import shutil
+
+    import numpy as np
+
+    from warpedganspace_tpu.cli import sample_gan, train
+
+    base_args = [
+        "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+        "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+        "--max-shift-magnitude", "0.25", "--batch-size", "8",
+        "--log-freq", "2", "--ckp-freq", "2", "--seed", "5",
+        "--checkpoint-backend", "orbax", "--multi-device",
+    ]
+    exp = "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25"
+
+    def run(tag, legs):
+        d = tmp_path / tag
+        d.mkdir()
+        monkeypatch.chdir(d)
+        monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+        sample_gan.main(["-g", "SNGAN_MNIST", "--num-samples", "1",
+                         "--pool", "p", "--seed", "2"])
+        for max_iter in legs:
+            wip = osp.join("experiments", "wip", exp)
+            complete = osp.join("experiments", "complete", exp)
+            if osp.isdir(complete):  # re-enter the finished run to extend it
+                shutil.move(complete, wip)
+            train.main(base_args + ["--max-iter", str(max_iter)])
+        with open(osp.join("experiments", "complete", exp, "stats.json")) as f:
+            return json.load(f)
+
+    straight = run("straight", [4])
+    resumed = run("resumed", [2, 4])
+    # Exact stat equality is NOT expected: like the reference (trainer.py:
+    # 74-89), resume restarts AT the saved iteration, so the resumed run
+    # re-applies iteration 2 on post-step-2 state. The contract under test is
+    # that the sharded orbax restore works at all: the resumed run reaches
+    # max_iter with the same logged-iteration schema and finite stats.
+    assert straight.keys() == resumed.keys() == {"2", "4"}
+    for it, stats in resumed.items():
+        for k, v in stats.items():
+            assert np.isfinite(v), f"{it}/{k}"
+    assert 0.0 <= resumed["4"]["accuracy"] <= 1.0

@@ -74,7 +74,9 @@ def download(src: str, sha256sum: str, dest: str) -> None:
         raise Exception("Error: Invalid sha256 sum: {}".format(h.hexdigest()))
 
     with tarfile.open(tmp_tar, mode="r") as tar:
-        tar.extractall(dest)
+        # "data" filter: rejects absolute paths / ".." traversal and strips
+        # dangerous metadata (also silences the 3.12 extraction deprecation).
+        tar.extractall(dest, filter="data")
     os.remove(tmp_tar)
 
 

@@ -186,9 +186,21 @@ class Trainer:
             step = mgr.latest_step()
             if step is None:
                 return 1, state
+            # Under --multi-device, restore REPLICATED over the mesh: the
+            # fresh-init state is uncommitted (eager outputs) so the sharded
+            # step can place it freely, but orbax restores committed arrays —
+            # restoring to the pre-restore single-device sharding would then
+            # clash with the step's 8-device constraints on resume.
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                rep = NamedSharding(self.mesh, PartitionSpec())
+                shard_of = lambda x: rep  # noqa: E731
+            else:
+                shard_of = lambda x: getattr(x, "sharding", None)  # noqa: E731
             abstract = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(
-                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)),
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=shard_of(x)),
                 state)
             restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
             return int(step), restored
