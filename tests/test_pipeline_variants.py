@@ -207,3 +207,61 @@ def test_orbax_multidevice_resume(tmp_path, monkeypatch):
         for k, v in stats.items():
             assert np.isfinite(v), f"{it}/{k}"
     assert 0.0 <= resumed["4"]["accuracy"] <= 1.0
+
+
+def test_traverse_sharded_across_processes(tmp_path, monkeypatch):
+    """Host-level scale-out (--num-shards/--shard-index): running the
+    traversal CLI once per shard must produce exactly the same output tree as
+    one unsharded run — the shards partition the code pool disjointly with no
+    communication (partition_work)."""
+    import filecmp
+
+    import numpy as np
+
+    from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+    def run(tag, shard_args_list):
+        d = tmp_path / tag
+        d.mkdir()
+        monkeypatch.chdir(d)
+        monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+        sample_gan.main(["-g", "SNGAN_MNIST", "--num-samples", "3",
+                         "--pool", "p", "--seed", "2"])
+        train.main([
+            "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+            "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+            "--max-shift-magnitude", "0.25", "--max-iter", "2",
+            "--batch-size", "2", "--log-freq", "2", "--ckp-freq", "2",
+            "--seed", "3",
+        ])
+        exp = osp.join("experiments", "complete",
+                       "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+        for extra in shard_args_list:
+            traverse_latent_space.main(
+                ["--exp", exp, "--pool", "p", "--shift-steps", "2",
+                 "--eps", "0.2"] + extra)
+        return osp.join(d, exp, "results", "p", "4_0.2_0.8")
+
+    single = run("single", [[]])
+    sharded = run("sharded", [["--num-shards", "2", "--shard-index", "0"],
+                              ["--num-shards", "2", "--shard-index", "1"]])
+
+    want = sorted(os.listdir(single))
+    assert sorted(os.listdir(sharded)) == want and len(want) == 3
+    for h in want:
+        cmp = filecmp.dircmp(osp.join(single, h), osp.join(sharded, h))
+        assert not cmp.left_only and not cmp.right_only
+        # JPEG bytes must be identical: same codes, same renders, same encoder.
+        a = np.fromfile(osp.join(single, h, "paths_images", "path_000",
+                                 "000000.jpg"), dtype=np.uint8)
+        b = np.fromfile(osp.join(sharded, h, "paths_images", "path_000",
+                                 "000000.jpg"), dtype=np.uint8)
+        assert np.array_equal(a, b)
+
+    with pytest.raises(ValueError, match="GIF"):
+        monkeypatch.chdir(tmp_path / "sharded")
+        traverse_latent_space.main(
+            ["--exp", osp.join("experiments", "complete",
+                               "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25"),
+             "--pool", "p", "--shift-steps", "2", "--eps", "0.2", "--gif",
+             "--num-shards", "2", "--shard-index", "0"])

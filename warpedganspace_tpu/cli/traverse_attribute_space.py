@@ -63,6 +63,12 @@ def build_parser():
                         help="accepted for reference-script compatibility (ignored)")
     parser.add_argument("--no-cuda", dest="cuda", action="store_false",
                         help="accepted for reference-script compatibility (ignored)")
+    parser.add_argument("--num-shards", type=int, default=1,
+                        help="host-level scale-out: total number of independent "
+                             "processes splitting the hash dirs (each process "
+                             "evaluates hashes shard-index::num-shards)")
+    parser.add_argument("--shard-index", type=int, default=0,
+                        help="this process's shard index in [0, num-shards)")
     parser.set_defaults(cuda=True)
     return parser
 
@@ -308,10 +314,14 @@ def main(argv=None):
         if args.verbose:
             print("       \\__.Latent space traversal config: {}".format(l_config))
         hashes_dir = osp.join(latent_traversal_dir, l_config)
-        hashes = [d for d in os.listdir(hashes_dir)
-                  if osp.isdir(osp.join(hashes_dir, d))
-                  and d not in ("paths_gifs", "validation_results",
-                                "interpretable_paths")]
+        hashes = sorted(d for d in os.listdir(hashes_dir)
+                        if osp.isdir(osp.join(hashes_dir, d))
+                        and d not in ("paths_gifs", "validation_results",
+                                      "interpretable_paths"))
+        if args.num_shards > 1:
+            from warpedganspace_tpu.parallel import partition_work
+
+            hashes = partition_work(hashes, args.num_shards, args.shard_index)
         for cnt, h in enumerate(hashes, start=1):
             if args.verbose:
                 print("           \\__.hash: {} [{}/{}]".format(h, cnt, len(hashes)))

@@ -63,6 +63,13 @@ def build_parser():
                         help="accepted for reference-script compatibility (ignored)")
     parser.add_argument("--multi-device", action="store_true",
                         help="shard the K paths over all visible TPU devices")
+    parser.add_argument("--num-shards", type=int, default=1,
+                        help="host-level scale-out: total number of independent "
+                             "processes splitting the latent-code pool (each "
+                             "process handles codes shard-index::num-shards; "
+                             "no cross-process communication needed)")
+    parser.add_argument("--shard-index", type=int, default=0,
+                        help="this process's shard index in [0, num-shards)")
     parser.add_argument("--dtype", type=str, default="float32", choices=("float32", "bfloat16"),
                         help="generator compute dtype; bfloat16 renders ~measurably faster "
                              "on TPU at >40dB PSNR vs float32 (the warp integration always "
@@ -164,6 +171,19 @@ def main(argv=None):
         print("#. Use latent codes from pool {}...".format(args.pool))
     latent_codes_dirs = sorted(
         d for d in os.listdir(pool) if osp.isdir(osp.join(pool, d)))
+    if args.num_shards > 1:
+        from warpedganspace_tpu.parallel import partition_work
+
+        if args.gif:
+            raise ValueError(
+                "--gif needs every code's traversal on disk; run the GIF "
+                "collation as a separate unsharded pass after all shards finish")
+        latent_codes_dirs = partition_work(
+            latent_codes_dirs, args.num_shards, args.shard_index)
+        if not latent_codes_dirs:
+            print("#. Shard {}/{} has no latent codes; nothing to do.".format(
+                args.shard_index, args.num_shards))
+            return
     zs = np.concatenate(
         [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]
     ).astype(np.float32)

@@ -3,8 +3,10 @@
 from warpedganspace_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    partition_work,
     replicate_sharding,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicate_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "partition_work", "replicate_sharding",
+           "shard_batch"]

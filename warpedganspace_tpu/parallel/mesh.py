@@ -49,6 +49,21 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
         )
 
 
+def partition_work(items, num_shards: int = 1, shard_index: int = 0):
+    """Deterministic host-level work partition for the inference CLIs.
+
+    Traversal and attribute evaluation are embarrassingly parallel over
+    latent codes / hash dirs (each unit touches disjoint files), so scaling
+    across HOSTS needs no collectives at all: every process slices the same
+    sorted work list by ``items[shard_index::num_shards]``. The reference has
+    no multi-host story; this is the TPU-pod-scale equivalent for the eval
+    pipeline (training scales through the mesh instead — see make_mesh)."""
+    if not 0 <= shard_index < num_shards:
+        raise ValueError(
+            f"shard_index {shard_index} out of range for {num_shards} shards")
+    return list(items)[shard_index::num_shards]
+
+
 def make_mesh(devices=None, axis_name: str = DATA_AXIS) -> Mesh:
     """Build a 1D data-parallel mesh over all (or the given) devices."""
     if devices is None:
