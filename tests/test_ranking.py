@@ -118,3 +118,46 @@ def test_rank_cli_eps_autodiscovery_and_rerun_after_ranking(tmp_path, monkeypatc
     root = hashes_root / "interpretable_paths" / "Group_Bangs"
     assert (root / "interpretable_paths.json").is_file()
     rank_cli.main(args)          # re-run must skip interpretable_paths/
+
+
+def test_rank_cli_gif_outputs(tmp_path, monkeypatch):
+    """The rank CLI's GIF branch (default-on, reference :119-178): summarizing
+    GIFs per top-k path per attribute plus the markdown that embeds them —
+    exercised with real path images on disk."""
+    from PIL import Image
+
+    from warpedganspace_tpu.cli import rank_interpretable_paths as rank_cli
+
+    monkeypatch.chdir(tmp_path)
+    exp = tmp_path / "exp"
+    hashes_root = exp / "results" / "mini" / "6_0.2_1.2"
+    rng = np.random.RandomState(4)
+    T = 7
+    for h in ("aaa", "bbb"):
+        np_dir = hashes_root / h / "eval_np"
+        np_dir.mkdir(parents=True)
+        for attr in ("celeba_bangs", "identity"):
+            np.save(np_dir / f"{attr}.npy", rng.rand(4, T))
+        # Path images + the original image the summarizing GIF composites.
+        Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)).save(
+            hashes_root / h / "original_image.jpg")
+        for k in range(4):
+            p_dir = hashes_root / h / "paths_images" / f"path_{k:03d}"
+            p_dir.mkdir(parents=True)
+            for t in range(T):
+                Image.fromarray((rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                                ).save(p_dir / f"{t:06d}.jpg")
+
+    rank_cli.main([
+        "--exp", str(exp), "--pool", "mini", "--shift-steps", "3",
+        "--eps", "0.2", "--attr-group", "Bangs", "--gif", "--gif-size", "32",
+        "--top-k", "2", "--num-imgs", "3",
+    ])
+    root = hashes_root / "interpretable_paths" / "Group_Bangs"
+    gifs = sorted((root / "corr").rglob("*.gif"))
+    assert gifs, "no summarizing GIFs written"
+    for g in gifs:
+        with Image.open(g) as im:
+            assert im.n_frames >= 2 and im.size[1] == 32
+    md = root / "top-2_interpretable_path_Bangs.md"
+    assert md.is_file() and ".gif" in md.read_text()
