@@ -126,3 +126,47 @@ def test_biggan_default_class_sampling(ref_biggan):
     # Deterministic: same z -> same classes -> same image.
     img2 = gen.apply(params, z)
     np.testing.assert_allclose(np.asarray(img), np.asarray(img2), rtol=1e-6)
+
+
+def test_sa_attention_kernel_matches_jnp():
+    """The fused attention kernel (ops/attn_pallas.py) must match the jnp
+    formulation in values AND gradients at BigGAN's aligned shapes, and the
+    unaligned-shape fallback must route to jnp."""
+    import jax
+    import jax.numpy as jnp
+
+    from warpedganspace_tpu.ops.attn_pallas import (
+        _jnp_attention,
+        _kernel_fits,
+        sa_attention_fusable,
+    )
+
+    key = jax.random.key(0)
+    for b, n, m, dk, dv in ((2, 4096, 1024, 24, 96), (3, 256, 128, 8, 16)):
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, n), 3)
+        theta = jax.random.normal(k1, (b, n, dk))
+        phi = jax.random.normal(k2, (b, m, dk))
+        g = jax.random.normal(k3, (b, m, dv))
+        got = sa_attention_fusable(theta, phi, g)
+        want = _jnp_attention(theta, phi, g)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss_k(t):
+            return jnp.sum(sa_attention_fusable(t, phi, g) ** 2)
+
+        def loss_j(t):
+            return jnp.sum(_jnp_attention(t, phi, g) ** 2)
+
+        gk = jax.grad(loss_k)(theta)
+        gj = jax.grad(loss_j)(theta)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gj),
+                                   rtol=1e-4, atol=1e-4)
+
+    # Unaligned key count -> jnp fallback (still f32-softmax semantics).
+    theta = jax.random.normal(key, (2, 64, 8))
+    phi = jax.random.normal(key, (2, 100, 8))
+    g = jax.random.normal(key, (2, 100, 16))
+    assert not _kernel_fits(theta, g)
+    np.testing.assert_allclose(np.asarray(sa_attention_fusable(theta, phi, g)),
+                               np.asarray(_jnp_attention(theta, phi, g)))

@@ -100,7 +100,14 @@ def _ccbn(p: dict, x, cond, eps: float = 1e-5):
 
 
 def _attention(p: dict, x):
-    """SA-GAN non-local block (layers.py:141-166). x: (B, H, W, C)."""
+    """SA-GAN non-local block (layers.py:141-166). x: (B, H, W, C).
+
+    The softmax(theta phi^T) g chain runs through the fused Pallas kernel
+    (ops/attn_pallas.py) — the (B, HW, HW/4) attention matrix stays in VMEM
+    instead of round-tripping ~1 GB of HBM at the BigGAN-128 render shapes
+    (measured 12% of the render; PERFORMANCE.md). Softmax in f32."""
+    from warpedganspace_tpu.ops.attn_pallas import sa_attention_fusable
+
     b, h, w, c = x.shape
     theta = nn.conv2d(p["theta"], x)                       # (B, H, W, C/8)
     phi = nn.max_pool(nn.conv2d(p["phi"], x), 2, 2)        # (B, H/2, W/2, C/8)
@@ -110,10 +117,7 @@ def _attention(p: dict, x):
     phi = phi.reshape(b, (h * w) // 4, c // 8)
     g = g.reshape(b, (h * w) // 4, c // 2)
 
-    beta = jax.nn.softmax(
-        jnp.einsum("bnc,bmc->bnm", theta, phi), axis=-1
-    )  # (B, HW, HW/4)
-    o = jnp.einsum("bnm,bmc->bnc", beta, g).reshape(b, h, w, c // 2)
+    o = sa_attention_fusable(theta, phi, g).reshape(b, h, w, c // 2)
     o = nn.conv2d(p["o"], o)
     return p["gamma"] * o + x
 
