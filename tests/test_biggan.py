@@ -152,16 +152,20 @@ def test_sa_attention_kernel_matches_jnp():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
-        def loss_k(t):
-            return jnp.sum(sa_attention_fusable(t, phi, g) ** 2)
+        # All three input gradients route through the fused backward kernel.
+        def loss_k(t, p, gg):
+            return jnp.sum(sa_attention_fusable(t, p, gg) ** 2)
 
-        def loss_j(t):
-            return jnp.sum(_jnp_attention(t, phi, g) ** 2)
+        def loss_j(t, p, gg):
+            return jnp.sum(_jnp_attention(t, p, gg) ** 2)
 
-        gk = jax.grad(loss_k)(theta)
-        gj = jax.grad(loss_j)(theta)
-        np.testing.assert_allclose(np.asarray(gk), np.asarray(gj),
-                                   rtol=1e-4, atol=1e-4)
+        gks = jax.grad(loss_k, argnums=(0, 1, 2))(theta, phi, g)
+        gjs = jax.grad(loss_j, argnums=(0, 1, 2))(theta, phi, g)
+        # Tolerance: the fused backward accumulates dphi/dg across query
+        # blocks in a different reduction order than the jnp VJP.
+        for gk, gj in zip(gks, gjs):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gj),
+                                       rtol=1e-3, atol=1e-3)
 
     # Unaligned key count -> jnp fallback (still f32-softmax semantics).
     theta = jax.random.normal(key, (2, 64, 8))
