@@ -61,9 +61,17 @@ def _jnp_attention(theta, phi, g):
 def _kernel_fits(theta, g) -> bool:
     b, n, dk = theta.shape
     m, dv = g.shape[1], g.shape[2]
-    # One sample's keys+values and a query block must sit in VMEM comfortably.
+    # Both directions must sit in VMEM comfortably. The binding constraint is
+    # the BACKWARD's working set: four (NB, M) f32 intermediates
+    # (logits/beta/dbeta/ds) plus the resident keys/values and the f32
+    # dphi/dg accumulator blocks. At BigGAN's largest kernel shape
+    # (M=1024, dk_p=dv_p=128, NB=256) that is ~7 MB; the bound below admits
+    # M<=1024 at 128-lane padded depths and routes anything larger (e.g. a
+    # hypothetical G_attn="128" at 256²+, M=4096) to the jnp path.
+    bwd_intermediates = 4 * _QUERY_BLOCK_BWD * m * 4
+    kv_and_acc = m * (_round_up(dk, 128) + _round_up(dv, 128)) * (2 + 4)
     return (m % 128 == 0 and n % 8 == 0
-            and m * (_round_up(dk, 128) + _round_up(dv, 128)) * 4 < (4 << 20))
+            and bwd_intermediates + kv_and_acc < (8 << 20))
 
 
 def _pallas_attention(theta, phi, g):
