@@ -79,3 +79,44 @@ def test_shard_batch_layout():
 
     out = f(x)
     assert out.shape == x.shape
+
+
+def test_sa_attention_kernel_under_mesh_and_remat():
+    """The fused SA attention kernel must (1) produce identical values and
+    gradients when the batch is sharded over the mesh (BigGAN DP training runs
+    it under sharding constraints) and (2) compose with jax.checkpoint (the
+    --remat path replays the custom_vjp forward)."""
+    from warpedganspace_tpu.ops.attn_pallas import _kernel_fits, sa_attention_fusable
+
+    mesh = make_mesh()
+    n_dev = jax.device_count()
+    b, n, m, dk, dv = n_dev, 64, 128, 8, 16
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    theta = jax.random.normal(k1, (b, n, dk))
+    phi = jax.random.normal(k2, (b, m, dk))
+    g = jax.random.normal(k3, (b, m, dv))
+    assert _kernel_fits(theta, g)
+
+    def loss(t, p, gg):
+        return jnp.sum(sa_attention_fusable(t, p, gg) ** 2)
+
+    want_y = sa_attention_fusable(theta, phi, g)
+    want_g = jax.grad(loss, argnums=(0, 1, 2))(theta, phi, g)
+
+    # (1) batch sharded over the mesh.
+    spec = jax.sharding.NamedSharding(mesh, P("data"))
+    ts, ps, gs = (jax.device_put(a, spec) for a in (theta, phi, g))
+    got_y = jax.jit(sa_attention_fusable)(ts, ps, gs)
+    got_g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ts, ps, gs)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
+                               rtol=1e-5, atol=1e-5)
+    for a, bb in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
+
+    # (2) under jax.checkpoint the custom_vjp forward is replayed at bwd time.
+    remat_loss = jax.checkpoint(loss)
+    got_r = jax.jit(jax.grad(remat_loss, argnums=(0, 1, 2)))(theta, phi, g)
+    for a, bb in zip(got_r, want_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-4)
