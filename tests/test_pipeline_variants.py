@@ -265,3 +265,16 @@ def test_traverse_sharded_across_processes(tmp_path, monkeypatch):
                                "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25"),
              "--pool", "p", "--shift-steps", "2", "--eps", "0.2", "--gif",
              "--num-shards", "2", "--shard-index", "0"])
+
+
+def test_shard_args_validated_even_when_sharding_off(tmp_path):
+    """--shard-index with a defaulted/invalid --num-shards must fail loudly,
+    not silently run the full pool in every process."""
+    from warpedganspace_tpu.cli import traverse_attribute_space, traverse_latent_space
+
+    base = ["--exp", str(tmp_path), "--pool", "p"]
+    for cli in (traverse_latent_space, traverse_attribute_space):
+        with pytest.raises(ValueError, match="out of range"):
+            cli.main(base + ["--shard-index", "1"])
+        with pytest.raises(ValueError, match="num-shards"):
+            cli.main(base + ["--num-shards", "0"])

@@ -76,7 +76,18 @@ def download(src: str, sha256sum: str, dest: str) -> None:
     with tarfile.open(tmp_tar, mode="r") as tar:
         # "data" filter: rejects absolute paths / ".." traversal and strips
         # dangerous metadata (also silences the 3.12 extraction deprecation).
-        tar.extractall(dest, filter="data")
+        # The filter API only exists from 3.10.12/3.11.4; on older patch
+        # releases apply the same traversal check by hand before extracting.
+        if hasattr(tarfile, "data_filter"):
+            tar.extractall(dest, filter="data")
+        else:  # pragma: no cover - old-interpreter fallback
+            base = osp.realpath(dest)
+            for member in tar.getmembers():
+                target = osp.realpath(osp.join(dest, member.name))
+                if not (target == base or target.startswith(base + os.sep)):
+                    raise ValueError(
+                        f"unsafe path in archive: {member.name!r}")
+            tar.extractall(dest)
     os.remove(tmp_tar)
 
 

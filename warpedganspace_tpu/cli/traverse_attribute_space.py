@@ -281,6 +281,15 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # Same always-on shard validation as traverse_latent_space.py: an invalid
+    # combination must fail loudly instead of silently evaluating everything.
+    if args.num_shards < 1:
+        raise ValueError(f"--num-shards must be >= 1 (got {args.num_shards})")
+    if not 0 <= args.shard_index < args.num_shards:
+        raise ValueError(
+            f"--shard-index {args.shard_index} out of range for "
+            f"{args.num_shards} shards")
+
     latent_traversal_dir = osp.join(args.exp, "results", args.pool)
     if not osp.isdir(args.exp):
         raise NotADirectoryError("Error: invalid experiment's directory: {}".format(args.exp))

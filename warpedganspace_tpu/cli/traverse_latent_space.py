@@ -86,6 +86,16 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # Validate the shard arguments even when sharding is off: a --shard-index
+    # with a defaulted/invalid --num-shards must fail loudly, not silently run
+    # the full pool in every process (duplicated, file-racing work).
+    if args.num_shards < 1:
+        raise ValueError(f"--num-shards must be >= 1 (got {args.num_shards})")
+    if not 0 <= args.shard_index < args.num_shards:
+        raise ValueError(
+            f"--shard-index {args.shard_index} out of range for "
+            f"{args.num_shards} shards")
+
     if not osp.isdir(args.exp):
         raise NotADirectoryError("Invalid given directory: {}".format(args.exp))
     args_json_file = osp.join(args.exp, "args.json")

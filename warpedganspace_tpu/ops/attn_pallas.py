@@ -20,13 +20,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from warpedganspace_tpu.ops.rbf_pallas import _interpret, _round_up
+
 _QUERY_BLOCK = 512
 # Backward holds 4 (NB, M) f32 intermediates in VMEM; halve the block.
 _QUERY_BLOCK_BWD = 256
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 def _attn_kernel(theta_ref, phi_ref, g_ref, out_ref):
@@ -70,7 +68,11 @@ def _kernel_fits(theta, g) -> bool:
     # hypothetical G_attn="128" at 256²+, M=4096) to the jnp path.
     bwd_intermediates = 4 * _QUERY_BLOCK_BWD * m * 4
     kv_and_acc = m * (_round_up(dk, 128) + _round_up(dv, 128)) * (2 + 4)
-    return (m % 128 == 0 and n % 8 == 0
+    # n must tile into the fixed query blocks (both directions degrade to
+    # nb = n otherwise, which would blow the VMEM estimate above for large
+    # block-unaligned n) — a single small block is the only other safe case.
+    n_tiles = n % _QUERY_BLOCK == 0 or n <= _QUERY_BLOCK_BWD
+    return (m % 128 == 0 and n % 8 == 0 and n_tiles
             and bwd_intermediates + kv_and_acc < (8 << 20))
 
 
@@ -96,7 +98,7 @@ def _pallas_attention(theta, phi, g):
         out_specs=pl.BlockSpec((1, nb, dv_p), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, dv_p), theta.dtype),
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=_interpret(),
     )(theta_p, phi_p, g_p)
     return out[..., :dv]
 
@@ -181,7 +183,7 @@ def _pallas_attention_bwd(theta, phi, g, ct):
             jax.ShapeDtypeStruct((b, m, dk_p), jnp.float32),
             jax.ShapeDtypeStruct((b, m, dv_p), jnp.float32),
         ],
-        interpret=jax.devices()[0].platform != "tpu",
+        interpret=_interpret(),
     )(theta_p, phi_p, g_p, ct_p)
     return (dtheta[..., :dk],
             dphi[..., :dk].astype(phi.dtype),
