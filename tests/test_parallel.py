@@ -103,14 +103,23 @@ def test_sa_attention_kernel_under_mesh_and_remat():
     want_y = sa_attention_fusable(theta, phi, g)
     want_g = jax.grad(loss, argnums=(0, 1, 2))(theta, phi, g)
 
-    # (1) batch sharded over the mesh.
+    # (1) batch sharded over the mesh — and actually PARTITIONED, not
+    # all-gathered + replicated (the op carries a custom_partitioning rule;
+    # a bare pallas_call would be all-gathered by GSPMD).
     spec = jax.sharding.NamedSharding(mesh, P("data"))
     ts, ps, gs = (jax.device_put(a, spec) for a in (theta, phi, g))
-    got_y = jax.jit(sa_attention_fusable)(ts, ps, gs)
-    got_g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(ts, ps, gs)
+    fwd = jax.jit(sa_attention_fusable)
+    grad = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    for compiled in (fwd.lower(ts, ps, gs).compile(),
+                     grad.lower(ts, ps, gs).compile()):
+        assert "all-gather" not in compiled.as_text()
+    got_y = fwd(ts, ps, gs)
+    assert got_y.sharding.spec == P("data")
+    got_g = grad(ts, ps, gs)
     np.testing.assert_allclose(np.asarray(got_y), np.asarray(want_y),
                                rtol=1e-5, atol=1e-5)
     for a, bb in zip(got_g, want_g):
+        assert a.sharding.spec == P("data")
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
                                    rtol=1e-4, atol=1e-4)
 

@@ -190,19 +190,67 @@ def _pallas_attention_bwd(theta, phi, g, ct):
             dg[..., :dv].astype(g.dtype))
 
 
+# ---------------------------------------------------------------------------
+# GSPMD partitioning. A bare pallas_call has no SPMD rule: under a sharded jit
+# (the --multi-device train step shards the batch axis) XLA would all-gather
+# theta/phi/g and run the FULL global batch replicated on every device —
+# erasing data parallelism (the same constraint the shard_map'd traversal
+# kernel documents, traverse/engine.py:104-112). custom_partitioning declares
+# the op batch-parallel: each device runs the kernel on its own batch shard,
+# no collectives. Attention is per-sample, so this is exact.
+
+def _batch_partitioned(fn, rule: str):
+    """Wrap ``fn`` so GSPMD/shardy partitions it along the leading batch dim
+    (factor ``b`` in ``rule``); all other dims are forced replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    wrapped = custom_partitioning(fn)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) > 0 else None
+
+    def _shard(mesh, b):
+        return lambda x: NamedSharding(
+            mesh, PartitionSpec(*((b,) + (None,) * (len(x.shape) - 1))))
+
+    def infer(mesh, arg_shapes, result_shape):
+        return jax.tree.map(_shard(mesh, _batch_axis(arg_shapes)), result_shape)
+
+    def partition(mesh, arg_shapes, result_shape):
+        shard = _shard(mesh, _batch_axis(arg_shapes))
+        arg_shardings = tuple(shard(a) for a in arg_shapes)
+        result_shardings = jax.tree.map(shard, result_shape)
+        return mesh, fn, result_shardings, arg_shardings
+
+    wrapped.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return wrapped
+
+
+_pallas_attention_spmd = _batch_partitioned(
+    _pallas_attention, "b n k, b m k, b m v -> b n v")
+_pallas_attention_bwd_spmd = _batch_partitioned(
+    _pallas_attention_bwd, "b n k, b m k, b m v, b n v -> b n k, b m k, b m v")
+
+
 @jax.custom_vjp
 def _sa_attention_kernel_op(theta, phi, g):
-    return _pallas_attention(theta, phi, g)
+    return _pallas_attention_spmd(theta, phi, g)
 
 
 def _sa_fwd(theta, phi, g):
-    return _pallas_attention(theta, phi, g), (theta, phi, g)
+    return _pallas_attention_spmd(theta, phi, g), (theta, phi, g)
 
 
 def _sa_bwd(res, ct):
     # Only reached when the forward routed to the kernel, so the shapes fit.
     theta, phi, g = res
-    return _pallas_attention_bwd(theta, phi, g, ct)
+    return _pallas_attention_bwd_spmd(theta, phi, g, ct)
 
 
 _sa_attention_kernel_op.defvjp(_sa_fwd, _sa_bwd)
