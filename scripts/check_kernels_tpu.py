@@ -13,6 +13,7 @@ but in different orders). Run from the repo root:
 Exits nonzero on any mismatch. Covers:
 - fused RBF warp kernel (`ops/rbf_pallas.py`) at the traversal pattern
 - fused SA attention fwd + bwd (`ops/attn_pallas.py`) at BigGAN-128 shapes
+- fused ProgGAN tail (`ops/proggan_tail_pallas.py`) at the real 1024^2 chain
 """
 import sys
 
@@ -127,6 +128,32 @@ def main():
     gj = jax.jit(vjp_j)(theta, phi, g)
     for name, a, bb in zip(("dtheta", "dphi", "dg"), gk, gj):
         check(f"attention bwd {name}", a, bb, rtol=3e-2, atol=1e-1)
+
+    # ---- fused ProgGAN tail at the real 1024^2 chain ----------------------
+    from warpedganspace_tpu.models.api import cast_params_bf16
+    from warpedganspace_tpu.models.proggan import ProgGANGenerator
+
+    gen_pl = ProgGANGenerator(tail_layout="pallas")
+    gen_s2d = ProgGANGenerator(tail_layout="s2d")
+    p = jax.jit(lambda k: gen_pl.init(k))(jax.random.key(3))
+    p16 = cast_params_bf16(p)
+    z = jax.random.normal(jax.random.key(4), (4, 512))
+
+    print("ProgGAN fused tail (bf16) vs s2d composition (f32):")
+    ref = jax.jit(lambda p, z: gen_s2d.apply(p, z))(p, z)
+    got = jax.jit(lambda p, z: gen_pl.apply(p, z))(p16, z.astype(jnp.bfloat16))
+    # Whole-model bf16 render vs f32: PSNR-style gate (>40 dB on the output
+    # dynamic range), the same bar the bf16 s2d path passes (~52 dB measured).
+    ref_np, got_np = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    if not np.all(np.isfinite(got_np)):
+        fail("proggan tail: non-finite output")
+    mse = float(np.mean((ref_np - got_np) ** 2))
+    rng = float(ref_np.max() - ref_np.min())
+    psnr = 10.0 * np.log10(rng * rng / max(mse, 1e-30))
+    print(f"  proggan tail PSNR vs f32-s2d: {psnr:.1f} dB "
+          f"-> {'ok' if psnr > 40.0 else 'MISMATCH'}")
+    if psnr <= 40.0:
+        fail("proggan tail PSNR below 40 dB")
 
     print("ALL KERNEL CHECKS PASSED on", jax.devices()[0])
 

@@ -155,6 +155,10 @@ def main(argv=None):
         stylegan2_resolution=args.stylegan2_resolution,
         shift_in_w_space=args.shift_in_w_space,
         remat={"off": False, "tail": "tail", "full": True}[args.remat],
+        # Training differentiates through G: keep the autodiff-native s2d tail
+        # (the fused Pallas tail is an inference fast path with a slow
+        # jnp-twin VJP fallback).
+        proggan_tail_layout="s2d",
     )
 
     print("#. Build Support Sets S...")

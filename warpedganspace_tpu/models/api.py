@@ -50,6 +50,18 @@ class GeneratorBundle:
     # apply accepts out_layout="s2d" (S2D-layout images; the 1024² generators'
     # native tail layout) — lets the train step skip the G->R layout transposes.
     supports_s2d_out: bool = False
+    # Layout the no-grad render stream should request from apply: "s2d" when
+    # the tail is S2D-native (un-S2D runs after u8 quantization, +7%
+    # device-side — traverse/engine.py), "nhwc" when the tail already emits
+    # NHWC (e.g. ProgGAN's fused Pallas tail). None = derive from
+    # supports_s2d_out.
+    render_out_layout: str | None = None
+
+    @property
+    def render_layout(self) -> str:
+        if self.render_out_layout is not None:
+            return self.render_out_layout
+        return "s2d" if self.supports_s2d_out else "nhwc"
 
     @property
     def dim_w(self) -> int:

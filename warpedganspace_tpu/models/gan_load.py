@@ -63,12 +63,20 @@ def build_sngan(pretrained_gan_weights: str, gan_type: str, allow_random_init: b
 
 
 def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = None,
-                  remat: bool | str = False) -> GeneratorBundle:
-    """ProgGAN 1024^2 CelebA-HQ. Parity: models/gan_load.py:109-129."""
+                  remat: bool | str = False,
+                  tail_layout: str | None = None) -> GeneratorBundle:
+    """ProgGAN 1024^2 CelebA-HQ. Parity: models/gan_load.py:109-129.
+
+    ``tail_layout`` None = auto: the fused Pallas tail on TPU (the inference
+    fast path, 2.85x whole-render — ops/proggan_tail_pallas.py), "s2d"
+    elsewhere. The training CLI pins "s2d" (the autodiff-native composition;
+    the pallas tail's VJP is a slow jnp-twin fallback)."""
     from warpedganspace_tpu.convert import proggan_params_from_state_dict
     from warpedganspace_tpu.models.proggan import ProgGANGenerator
 
-    gen = ProgGANGenerator(remat=remat)
+    if tail_layout is None:
+        tail_layout = "pallas" if jax.default_backend() == "tpu" else "s2d"
+    gen = ProgGANGenerator(remat=remat, tail_layout=tail_layout)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     params = gen.init(jax.random.key(0)) if sd is None else proggan_params_from_state_dict(sd)
     return GeneratorBundle(
@@ -79,6 +87,7 @@ def build_proggan(pretrained_gan_weights: str, allow_random_init: bool | None = 
         params=params,
         apply_fn=gen.apply,
         supports_s2d_out=True,
+        render_out_layout="nhwc" if tail_layout == "pallas" else None,
     )
 
 
@@ -149,6 +158,7 @@ def build_gan(
     weights_root: str = ".",
     allow_random_init: bool | None = None,
     remat: bool | str = False,
+    proggan_tail_layout: str | None = None,
 ) -> GeneratorBundle:
     """Dispatcher used by the CLI scripts (parity: traverse_latent_space.py:233-259)."""
     from warpedganspace_tpu.config import GAN_WEIGHTS
@@ -158,7 +168,8 @@ def build_gan(
         return build_biggan(path, target_classes, allow_random_init)
     if gan_type == "ProgGAN":
         path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][GAN_RESOLUTIONS[gan_type]])
-        return build_proggan(path, allow_random_init, remat=remat)
+        return build_proggan(path, allow_random_init, remat=remat,
+                             tail_layout=proggan_tail_layout)
     if gan_type == "StyleGAN2":
         path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][stylegan2_resolution])
         return build_stylegan2(path, stylegan2_resolution, shift_in_w_space, allow_random_init,

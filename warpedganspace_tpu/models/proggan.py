@@ -36,7 +36,10 @@ class ProgGANGenerator:
     remat: bool | str = False
     # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth;
     # removes the TPU lane padding of the 16-64 channel layers — see
-    # ops/s2d.py) or "nhwc" (plain).
+    # ops/s2d.py), "nhwc" (plain), or "pallas" (fused section kernel,
+    # ops/proggan_tail_pallas.py — the fast inference path on TPU; falls back
+    # to "s2d" for out_layout="s2d" and to "nhwc" when the block chain does
+    # not match the fused-tail pattern).
     tail_layout: str = "s2d"
 
     def init(self, key: jax.Array, channels=None) -> dict:
@@ -81,11 +84,18 @@ class ProgGANGenerator:
         free with the S2D tail (skips the final ``from_s2d``); consumed by
         ``Reconstructor.apply_pair_s2d`` in the training step.
         """
-        if self.tail_layout not in ("s2d", "nhwc"):
+        if self.tail_layout not in ("s2d", "nhwc", "pallas"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r} "
-                             "(ProgGAN supports 's2d' and 'nhwc')")
+                             "(ProgGAN supports 's2d', 'nhwc' and 'pallas')")
         if out_layout not in ("nhwc", "s2d"):
             raise ValueError(f"unknown out_layout {out_layout!r}")
+        if self.tail_layout == "pallas":
+            if out_layout == "s2d":
+                # The pair-handoff training path stays on the autodiff-native
+                # s2d composition (the kernel is an inference fast path).
+                return dataclasses.replace(self, tail_layout="s2d").apply(
+                    params, z, shift, out_layout)
+            return self._apply_pallas_tail(params, z, shift)
         if shift is not None:
             z = z + shift
         x = z[:, None, None, :]  # (B, 1, 1, 512) — NHWC seed
@@ -142,3 +152,37 @@ class ProgGANGenerator:
         x = nn.conv2d(params["out"]["conv"], x, padding=0)
         x = x * params["out"]["wscale_scale"] + params["out"]["wscale_bias"]
         return s2d.to_s2d(x) if out_layout == "s2d" else x
+
+    def _apply_pallas_tail(self, params: dict, z: jax.Array,
+                           shift: jax.Array | None) -> jax.Array:
+        """NHWC head blocks (>=128-channel, lane-dense in plain XLA) + the
+        fused Pallas tail sections (ops/proggan_tail_pallas.py). Output is
+        NHWC; numerically a bf16-level match of the nhwc composition
+        (suite-tested). Falls back to the nhwc path when the block chain does
+        not end in the (up 2C->C, same C->C)* + 1x1 head pattern."""
+        from warpedganspace_tpu.ops import proggan_tail_pallas as ptp
+
+        blocks = params["blocks"]
+        n_head, sections = ptp.tail_sections_from_blocks(
+            blocks, _BLOCK_SPECS[: len(blocks)])
+        if not sections:
+            return dataclasses.replace(self, tail_layout="nhwc").apply(
+                params, z, shift)
+        if shift is not None:
+            z = z + shift
+        x = z[:, None, None, :]
+
+        def block(p, x, kernel, pad, up):
+            x = nn.pixel_norm(x)
+            if up:
+                x = nn.upsample_nearest(x, 2)
+            x = nn.conv2d(p["conv"], x, padding=pad)
+            x = x * p["wscale_scale"] + p["wscale_bias"]
+            return jnp.where(x >= 0, x, 0.2 * x)
+
+        block_ckpt = jax.checkpoint(block, static_argnums=(2, 3, 4))
+        for spec, p in zip(_BLOCK_SPECS[:n_head], blocks[:n_head]):
+            kernel, pad, up = spec
+            x = (block_ckpt if self.remat is True else block)(
+                p, x, kernel, pad, up)
+        return ptp.proggan_tail_pallas(x, sections, params["out"])

@@ -179,7 +179,8 @@ _RENDER_U8_CACHE: dict = {}
 def _render_u8_fn(G, latent_is_w: bool):
     from warpedganspace_tpu.ops import s2d as s2d_ops
 
-    s2d_out = bool(getattr(G, "supports_s2d_out", False))
+    default_layout = "s2d" if getattr(G, "supports_s2d_out", False) else "nhwc"
+    s2d_out = getattr(G, "render_layout", default_layout) == "s2d"
     key = (id(G.apply_fn), s2d_out, bool(latent_is_w))
     hit = _RENDER_U8_CACHE.get(key)
     if hit is not None and hit[0] is G.apply_fn:
