@@ -342,6 +342,33 @@ def _measure_tpu():
         log(f"flagship train step failed: {e}")
         flagship_steps_per_sec, flagship_spread = 0.0, 0.0
 
+    # --- ProgGAN-1024 render: the fused Pallas tail (round 3) --------------
+    try:
+        stateT = mT = None  # release the flagship step's HBM before ProgGAN
+        from warpedganspace_tpu.models.proggan import ProgGANGenerator
+
+        pg = ProgGANGenerator(tail_layout="pallas" if is_tpu else "s2d")
+        pg_params = cast_params_bf16(jax.jit(lambda k: pg.init(k))(jax.random.key(8)))
+        pgz = jax.random.normal(jax.random.key(9), (48, 512), jnp.bfloat16)
+        pg_render = jax.jit(lambda p, z: pg.apply(p, z))
+        log("compiling ProgGAN render (fused pallas tail)...")
+        sync(pg_render(pg_params, pgz))
+
+        def _proggan_once():
+            reps = 10
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                o = pg_render(pg_params, pgz)
+            sync(o)
+            return 48 * reps / (time.perf_counter() - t0)
+
+        proggan_ips, proggan_spread, n = _measure_rounds(_proggan_once)
+        log(f"ProgGAN-1024 render (fused pallas tail, B=48): "
+            f"{proggan_ips:.1f} img/s (best of {n}, spread {proggan_spread:.1%})")
+    except Exception as e:
+        log(f"proggan render failed: {e}")
+        proggan_ips, proggan_spread = 0.0, 0.0
+
     if is_tpu:
         probes.append(_probe_tflops(log))
     probe_best = max(probes)
@@ -360,6 +387,7 @@ def _measure_tpu():
         "warp_grad_evals_per_sec_pallas": pallas_evals_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
         "stylegan2_1024_train_steps_per_sec_bs12": flagship_steps_per_sec,
+        "proggan_1024_render_images_per_sec": proggan_ips,
         "spreads": {
             "render_f32": f32_spread,
             "render_bf16": bf16_spread,
@@ -367,6 +395,7 @@ def _measure_tpu():
             "warp_pallas": pallas_spread,
             "sngan_train": sngan_spread,
             "flagship_train": flagship_spread,
+            "proggan_render": proggan_spread,
         },
         "probe_tflops": probe_best,
         "probe_tflops_all": probes,

@@ -59,7 +59,7 @@ FULL = [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 256,
 B = 48
 z = jax.random.normal(jax.random.key(1), (B, 512), jnp.bfloat16)
 
-for layout in ("s2d", "nhwc"):
+for layout in ("pallas", "s2d", "nhwc"):
     gen = ProgGANGenerator(tail_layout=layout)
     params = jax.jit(lambda k: gen.init(k))(jax.random.key(0))
     p16 = jax.tree_util.tree_map(
