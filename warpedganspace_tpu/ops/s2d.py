@@ -123,6 +123,38 @@ def up_s2d_kernel_from_taps(taps, cin: int, cout: int, dtype) -> jax.Array:
     return k
 
 
+@functools.lru_cache(maxsize=1)
+def _nearest_up_merged_sel():
+    import numpy as np
+
+    s = np.zeros((4, 4, 3, 3), np.float32)
+    for dy in range(-2, 2):
+        for dx in range(-2, 2):
+            for oy in (-1, 0, 1):
+                for ox in (-1, 0, 1):
+                    if (oy - dy) in (0, 1) and (ox - dx) in (0, 1):
+                        s[dy + 2, dx + 2, oy + 1, ox + 1] = 1.0
+    return s
+
+
+def nearest_up_conv_merged_kernel(w: jax.Array) -> jax.Array:
+    """(3,3,Ci,Co) conv weight -> (4,4,Ci,Co): [2x nearest-up -> conv3x3
+    (pad 1)] as ONE plain-NHWC lhs-dilated conv (lhs_dilation=2,
+    padding=((2,2),(2,2))). Same-output exact; 2.25x fewer dense MACs than
+    conv-at-the-upsampled-resolution and no 4x intermediate (measured
+    1.07-1.71x per BigGAN up-conv on v5e). k[d] = sum_{o-t=d, t in {0,1}} w[o]
+    — nearest-up is zero-insertion convolved with ones(2,2)."""
+    sel = jnp.asarray(_nearest_up_merged_sel(), w.dtype)
+    return jnp.einsum("DEyx,yxcd->DEcd", sel, w)
+
+
+def nearest_up_conv_merged_apply(x: jax.Array, k4: jax.Array) -> jax.Array:
+    """Apply a merged nearest-up conv kernel: (B,H,W,Ci) -> (B,2H,2W,Co)."""
+    return lax.conv_general_dilated(
+        x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def nearest_up_conv_entry_kernel(w: jax.Array) -> jax.Array:
     """ProgGAN NormUpscaleConvBlock, NHWC -> S2D."""
     return up_entry_kernel_from_taps(
