@@ -116,14 +116,24 @@ class SNGANGenerator:
 
     @staticmethod
     def _res_block(p: dict, x: jax.Array) -> jax.Array:
+        """[2x nearest-up -> conv3x3] pairs run as ONE lhs-dilated conv with
+        the merged 4x4 kernel (ops/s2d.py::nearest_up_conv_merged_kernel —
+        exact, 2.25x fewer dense MACs, no 4x intermediate; the BigGAN GBlock
+        restructuring, PERFORMANCE.md)."""
+        from warpedganspace_tpu.ops import s2d
+
         h = nn.batch_norm(p["bn1"], x, train=False)
         h = jax.nn.relu(h)
-        h = nn.upsample_nearest(h, 2)
-        h = nn.conv2d(p["conv1"], h, padding=1)
+        h = s2d.nearest_up_conv_merged_apply(
+            h, s2d.nearest_up_conv_merged_kernel(p["conv1"]["w"]))
+        h = h + p["conv1"]["b"]
         h = nn.batch_norm(p["bn2"], h, train=False)
         h = jax.nn.relu(h)
         h = nn.conv2d(p["conv2"], h, padding=1)
-        bypass = nn.upsample_nearest(x, 2)
         if "bypass_conv" in p:
-            bypass = nn.conv2d(p["bypass_conv"], bypass, padding=1)
+            bypass = s2d.nearest_up_conv_merged_apply(
+                x, s2d.nearest_up_conv_merged_kernel(p["bypass_conv"]["w"]))
+            bypass = bypass + p["bypass_conv"]["b"]
+        else:
+            bypass = nn.upsample_nearest(x, 2)
         return h + bypass
