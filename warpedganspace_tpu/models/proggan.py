@@ -25,6 +25,20 @@ _BLOCK_SPECS = [(4, 3, False), (3, 1, False)] + [(3, 1, up) for up in
                 [True, False] * 8]
 
 
+def _nhwc_block_core(p: dict, x: jax.Array, pad: int, up: bool) -> jax.Array:
+    """PixelNorm -> [nearest-up] conv -> WScale in plain NHWC. Up blocks (all
+    3x3 pad-1) run as ONE lhs-dilated conv with the merged 4x4 kernel
+    (ops/s2d.py::nearest_up_conv_merged_kernel — exact, 2.25x fewer dense
+    MACs, no 4x intermediate)."""
+    x = nn.pixel_norm(x)
+    if up:
+        x = s2d.nearest_up_conv_merged_apply(
+            x, s2d.nearest_up_conv_merged_kernel(p["conv"]["w"]))
+    else:
+        x = nn.conv2d(p["conv"], x, padding=pad)
+    return x * p["wscale_scale"] + p["wscale_bias"]
+
+
 @dataclasses.dataclass(frozen=True)
 class ProgGANGenerator:
     dim_z: int = 512
@@ -116,11 +130,7 @@ class ProgGANGenerator:
                                  dilated=False)
                 x = x * p["wscale_scale"] + jnp.tile(p["wscale_bias"], 4)
             else:
-                x = nn.pixel_norm(x)
-                if up:
-                    x = nn.upsample_nearest(x, 2)
-                x = nn.conv2d(p["conv"], x, padding=pad)
-                x = x * p["wscale_scale"] + p["wscale_bias"]
+                x = _nhwc_block_core(p, x, pad, up)
             return jnp.where(x >= 0, x, 0.2 * x)
 
         if self.remat not in (True, False, "tail"):
@@ -173,11 +183,7 @@ class ProgGANGenerator:
         x = z[:, None, None, :]
 
         def block(p, x, kernel, pad, up):
-            x = nn.pixel_norm(x)
-            if up:
-                x = nn.upsample_nearest(x, 2)
-            x = nn.conv2d(p["conv"], x, padding=pad)
-            x = x * p["wscale_scale"] + p["wscale_bias"]
+            x = _nhwc_block_core(p, x, pad, up)
             return jnp.where(x >= 0, x, 0.2 * x)
 
         block_ckpt = jax.checkpoint(block, static_argnums=(2, 3, 4))
