@@ -82,3 +82,24 @@ def test_fused_leaky_relu():
     pre = np.array([[-0.5, 1.5], [3.5, -4.5]])
     want = math.sqrt(2.0) * np.where(pre >= 0, pre, 0.2 * pre)
     np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_nearest_up_conv_merged_kernel_exact():
+    """[2x nearest-up -> conv3x3(pad 1)] == one lhs-dilated conv with the
+    merged 4x4 kernel (ops/s2d.py) — the BigGAN/SNGAN/ProgGAN up-block
+    reformulation. Exact at HIGHEST matmul precision, including borders."""
+    import jax
+
+    from warpedganspace_tpu.nn import core as nn
+    from warpedganspace_tpu.ops import s2d
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 5, 7, 6))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 6, 4))
+    with jax.default_matmul_precision("highest"):
+        ref = nn.conv2d({"w": w}, nn.upsample_nearest(x, 2), padding=1)
+        got = s2d.nearest_up_conv_merged_apply(
+            x, s2d.nearest_up_conv_merged_kernel(w))
+    assert got.shape == ref.shape == (2, 10, 14, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
