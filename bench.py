@@ -278,7 +278,7 @@ def _measure_tpu():
     S2 = SupportSets(num_support_sets=64, num_support_dipoles=128,
                      support_vectors_dim=128, learn_gammas=True)
     R = Reconstructor("LeNet", dim=64, channels=1)
-    # The launcher's production flags (bf16-G; measured 93 -> 111 steps/s).
+    # The launcher's production flags (bf16-G; 143 steps/s with the round-3 merged up-convs).
     cfg = TrainStepConfig(batch_size=128, num_support_sets=64,
                           min_shift_magnitude=0.15, max_shift_magnitude=0.25,
                           generator_dtype="bfloat16")
