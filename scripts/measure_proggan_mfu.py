@@ -51,7 +51,8 @@ def flops_of(fn, args):
 
 V5E_PEAK_BF16 = 197e12
 
-from warpedganspace_tpu.models.proggan import ProgGANGenerator  # noqa: E402
+from warpedganspace_tpu.models.api import cast_params_bf16  # noqa: E402
+from warpedganspace_tpu.models.proggan import _BLOCK_SPECS, ProgGANGenerator  # noqa: E402
 
 FULL = [512, 512, 512, 512, 512, 512, 512, 512, 512, 256, 256,
         128, 128, 64, 64, 32, 32, 16, 16]
@@ -62,8 +63,7 @@ z = jax.random.normal(jax.random.key(1), (B, 512), jnp.bfloat16)
 for layout in ("pallas", "s2d", "nhwc"):
     gen = ProgGANGenerator(tail_layout=layout)
     params = jax.jit(lambda k: gen.init(k))(jax.random.key(0))
-    p16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    p16 = cast_params_bf16(params)
     fn = jax.jit(lambda p, z: gen.apply(p, z))
     fl, by = flops_of(lambda p, z: gen.apply(p, z), (p16, z))
     t = timed(fn, (p16, z))
@@ -73,20 +73,16 @@ for layout in ("pallas", "s2d", "nhwc"):
         f"-> {by/t/1e9:5.0f} GB/s")
 
 # Depth sweep (s2d layout): cumulative time up to each block count.
-gen = ProgGANGenerator(tail_layout="s2d")
 prev_t, prev_fl = 0.0, 0.0
 for nblocks in range(2, 19, 2):
     ch = FULL[: nblocks + 1]
     g = ProgGANGenerator(tail_layout="s2d")
     params = jax.jit(lambda k: g.init(k, channels=ch))(jax.random.key(0))
-    p16 = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x, params)
+    p16 = cast_params_bf16(params)
     fn = jax.jit(lambda p, z: g.apply(p, z))
     fl, _ = flops_of(lambda p, z: g.apply(p, z), (p16, z))
     t = timed(fn, (p16, z), reps=10)
-    res = 4 * (2 ** sum(1 for (_, _, up) in
-                        __import__("warpedganspace_tpu.models.proggan",
-                                   fromlist=["_BLOCK_SPECS"])._BLOCK_SPECS[:nblocks] if up))
+    res = 4 * (2 ** sum(1 for (_, _, up) in _BLOCK_SPECS[:nblocks] if up))
     log(f"depth {nblocks:2d} (res {res:4d}, ch {ch[-1]:3d}): {t*1e3:7.1f} ms  "
         f"delta {1e3*(t-prev_t):7.1f} ms  flops-delta {(fl-prev_fl)/B/1e9:6.1f} GFLOP/img")
     prev_t, prev_fl = t, fl

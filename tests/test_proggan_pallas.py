@@ -52,7 +52,6 @@ def _section_args(key, c):
 @pytest.mark.parametrize("c", [16, 64])
 def test_fused_section_matches_composition(c):
     key = jax.random.key(c)
-    x = jax.random.normal(key, (2, 8, 16 * (64 // c) // (64 // c), 2 * c))
     # width must give wg = W / (64/c) >= 8 and % 8 == 0
     w = 8 * (64 // c)
     x = jax.random.normal(key, (2, 8, w, 2 * c))

@@ -138,7 +138,8 @@ def _gblock(p: dict, x, cond):
     h = jax.nn.relu(_ccbn(p["bn1"], x, cond))
     h = s2d.nearest_up_conv_merged_apply(
         h, s2d.nearest_up_conv_merged_kernel(p["conv1"]["w"]))
-    h = h + p["conv1"]["b"]
+    if "b" in p["conv1"]:  # converters keep bias optional (convert/biggan.py)
+        h = h + p["conv1"]["b"]
     h = jax.nn.relu(_ccbn(p["bn2"], h, cond))
     h = nn.conv2d(p["conv2"], h, padding=1)
     x = nn.upsample_nearest(nn.conv2d(p["conv_sc"], x, padding=0), 2)

@@ -103,6 +103,8 @@ class ProgGANGenerator:
                              "(ProgGAN supports 's2d', 'nhwc' and 'pallas')")
         if out_layout not in ("nhwc", "s2d"):
             raise ValueError(f"unknown out_layout {out_layout!r}")
+        if self.remat not in (True, False, "tail"):
+            raise ValueError(f"unknown remat policy {self.remat!r}")
         if self.tail_layout == "pallas":
             if out_layout == "s2d":
                 # The pair-handoff training path stays on the autodiff-native
@@ -133,8 +135,6 @@ class ProgGANGenerator:
                 x = _nhwc_block_core(p, x, pad, up)
             return jnp.where(x >= 0, x, 0.2 * x)
 
-        if self.remat not in (True, False, "tail"):
-            raise ValueError(f"unknown remat policy {self.remat!r}")
         block_ckpt = jax.checkpoint(block, static_argnums=(2, 3, 4, 5, 6))
 
         fmt = "NHWC"
@@ -169,7 +169,12 @@ class ProgGANGenerator:
         fused Pallas tail sections (ops/proggan_tail_pallas.py). Output is
         NHWC; numerically a bf16-level match of the nhwc composition
         (suite-tested). Falls back to the nhwc path when the block chain does
-        not end in the (up 2C->C, same C->C)* + 1x1 head pattern."""
+        not end in the (up 2C->C, same C->C)* + 1x1 head pattern.
+
+        ``remat`` semantics here: True checkpoints the head blocks;
+        "tail" is a no-op — the tail IS the fused kernel, whose custom_vjp
+        fallback recomputes through the jnp twin anyway (training uses the
+        s2d composition, where "tail" has its usual meaning)."""
         from warpedganspace_tpu.ops import proggan_tail_pallas as ptp
 
         blocks = params["blocks"]

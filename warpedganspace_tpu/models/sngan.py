@@ -126,14 +126,16 @@ class SNGANGenerator:
         h = jax.nn.relu(h)
         h = s2d.nearest_up_conv_merged_apply(
             h, s2d.nearest_up_conv_merged_kernel(p["conv1"]["w"]))
-        h = h + p["conv1"]["b"]
+        if "b" in p["conv1"]:  # bias stays optional, as in nn.conv2d
+            h = h + p["conv1"]["b"]
         h = nn.batch_norm(p["bn2"], h, train=False)
         h = jax.nn.relu(h)
         h = nn.conv2d(p["conv2"], h, padding=1)
         if "bypass_conv" in p:
             bypass = s2d.nearest_up_conv_merged_apply(
                 x, s2d.nearest_up_conv_merged_kernel(p["bypass_conv"]["w"]))
-            bypass = bypass + p["bypass_conv"]["b"]
+            if "b" in p["bypass_conv"]:
+                bypass = bypass + p["bypass_conv"]["b"]
         else:
             bypass = nn.upsample_nearest(x, 2)
         return h + bypass
