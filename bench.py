@@ -112,7 +112,13 @@ def _measure_tpu():
         print(f"[bench +{time.perf_counter() - _t_start:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
     _t_start = time.perf_counter()
-    gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)
+    # The render measures the INFERENCE configuration: the fold-x tail on TPU
+    # (the production render layout build_stylegan2 auto-selects; +9% over
+    # s2d at 1024^2/B=96). The flagship TRAIN step below keeps its own
+    # s2d-tail generator (the production training flags).
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True,
+                             tail_layout="foldx" if on_tpu else "s2d")
     # Jit the inits: eager init dispatches hundreds of tiny ops, which is
     # pathological over a remote-tunnel backend.
     params = jax.jit(gen.init)(jax.random.key(0))

@@ -258,11 +258,12 @@ def test_tail_layouts_equivalent():
     params = base.init(jax.random.key(0))
     z = jax.random.normal(jax.random.key(1), (2, 512))
     outs = {}
-    for layout in ("s2d", "nchw", "nhwc"):
+    for layout in ("s2d", "nchw", "nhwc", "foldx"):
         gen = dc.replace(base, tail_layout=layout)
         outs[layout] = np.asarray(gen.apply(params, z))
     np.testing.assert_allclose(outs["s2d"], outs["nhwc"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(outs["nchw"], outs["nhwc"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(outs["foldx"], outs["nhwc"], rtol=1e-4, atol=1e-5)
 
 
 def test_remat_policies_same_output():
@@ -303,7 +304,7 @@ def test_out_layout_s2d_matches_nhwc():
     from warpedganspace_tpu.ops.s2d import to_s2d
 
     z = jax.random.normal(jax.random.key(1), (2, 512))
-    for tail in ("s2d", "nhwc"):
+    for tail in ("s2d", "nhwc", "foldx"):
         gen = StyleGAN2Generator(resolution=256, n_mlp=2, channel_multiplier=1,
                                  tail_layout=tail)
         params = gen.init(jax.random.key(0))

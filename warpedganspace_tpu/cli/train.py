@@ -155,10 +155,12 @@ def main(argv=None):
         stylegan2_resolution=args.stylegan2_resolution,
         shift_in_w_space=args.shift_in_w_space,
         remat={"off": False, "tail": "tail", "full": True}[args.remat],
-        # Training differentiates through G: keep the autodiff-native s2d tail
-        # (the fused Pallas tail is an inference fast path with a slow
-        # jnp-twin VJP fallback).
+        # Training differentiates through G and hands s2d-layout pairs to the
+        # reconstructor: keep the autodiff-native s2d tails (the ProgGAN
+        # Pallas tail and the StyleGAN2 fold-x tail are inference render
+        # layouts).
         proggan_tail_layout="s2d",
+        stylegan2_tail_layout="s2d",
     )
 
     print("#. Build Support Sets S...")

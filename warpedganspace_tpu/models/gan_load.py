@@ -97,13 +97,20 @@ def build_stylegan2(
     shift_in_w_space: bool = False,
     allow_random_init: bool | None = None,
     remat: bool | str = False,
+    tail_layout: str | None = None,
 ) -> GeneratorBundle:
-    """StyleGAN2 FFHQ (256 / 1024, config-f). Parity: models/gan_load.py:145-188."""
+    """StyleGAN2 FFHQ (256 / 1024, config-f). Parity: models/gan_load.py:145-188.
+
+    ``tail_layout`` None = auto: the fold-x tail on TPU (the fastest render
+    layout, +9% whole-render at 1024^2), "s2d" elsewhere. The training CLI
+    pins "s2d" (its pair handoff consumes s2d output)."""
     from warpedganspace_tpu.convert.stylegan2 import stylegan2_params_from_state_dict
     from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
 
+    if tail_layout is None:
+        tail_layout = "foldx" if jax.default_backend() == "tpu" else "s2d"
     gen = StyleGAN2Generator(resolution=resolution, shift_in_w_space=shift_in_w_space,
-                             remat=remat)
+                             remat=remat, tail_layout=tail_layout)
     sd = _load_state_dict(pretrained_gan_weights, _allow_random(allow_random_init))
     if sd is None:
         params = gen.init(jax.random.key(0))
@@ -120,6 +127,7 @@ def build_stylegan2(
         get_w_fn=gen.get_w,
         shift_in_w_space=shift_in_w_space,
         supports_s2d_out=True,
+        render_out_layout="nhwc" if tail_layout == "foldx" else None,
     )
 
 
@@ -159,6 +167,7 @@ def build_gan(
     allow_random_init: bool | None = None,
     remat: bool | str = False,
     proggan_tail_layout: str | None = None,
+    stylegan2_tail_layout: str | None = None,
 ) -> GeneratorBundle:
     """Dispatcher used by the CLI scripts (parity: traverse_latent_space.py:233-259)."""
     from warpedganspace_tpu.config import GAN_WEIGHTS
@@ -173,6 +182,6 @@ def build_gan(
     if gan_type == "StyleGAN2":
         path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][stylegan2_resolution])
         return build_stylegan2(path, stylegan2_resolution, shift_in_w_space, allow_random_init,
-                               remat=remat)
+                               remat=remat, tail_layout=stylegan2_tail_layout)
     path = osp.join(weights_root, GAN_WEIGHTS[gan_type]["weights"][GAN_RESOLUTIONS[gan_type]])
     return build_sngan(path, gan_type, allow_random_init)

@@ -225,6 +225,85 @@ def _s2d_up_blur_kernel(c: int, dtype) -> jax.Array:
     return k
 
 
+# --------------------------------------------------------------------------- #
+# Fold-x tail ("foldx"): the 1D analog of S2D — activations (B, H, W/f, f*C)   #
+# with f = 128/C, lane layout hx*C + c. Same 128-lane fill as S2D, but 1D      #
+# folding halves the dense-FLOP factor of the same-grid convs at C=64 (2x vs  #
+# 4x). Measured on v5e (B=24, deep-pipelined): the 512-res section's same-    #
+# conv 15.8 -> 11.8 ms and its up-conv matches the S2D entry form; the C=32   #
+# 1024-res layers tie with S2D. Inference layout (the training pair handoff   #
+# wants out_layout='s2d'; build_stylegan2 auto-selects foldx on TPU for       #
+# render, cli/train pins s2d). Kernels derived once per call from the learned  #
+# weights, like the S2D family above.                                          #
+# --------------------------------------------------------------------------- #
+
+
+def _foldx_up_kernel(w: jax.Array, fi: int) -> jax.Array:
+    """(3,3,Cin,Co) upsample weight -> (6,3, fi*Cin, 2fi*Co): the
+    convT(stride2)+blur composite from fold-x input (fold fi) to fold-x
+    output (fold 2fi). Apply with lhs_dilation=(2,1), padding=((3,3),(1,1)).
+
+    y: out row Y reads input rows Y//2 - 1 + oy; as a y-dilated conv the tap
+    lands at kernel row 1 - (Y%2) + 2*oy — exactly ``_PHASE_ROWS``. x: tap
+    q = px//2 + ox - 1 lands in folded group q//fi at sub-position q%fi."""
+    comp = _compose_upsample_kernel(w)  # (6, 6, Cin, Co)
+    cin, co = comp.shape[2], comp.shape[3]
+    fo = 2 * fi
+    k = jnp.zeros((6, 3, fi * cin, fo * co), w.dtype)
+    for f_y in range(2):
+        for oy in range(3):
+            ky = _PHASE_ROWS[f_y][oy]
+            for px in range(fo):
+                f_x = px % 2
+                for ox in range(3):
+                    q = px // 2 + ox - 1
+                    k = k.at[ky, q // fi + 1,
+                             (q % fi) * cin:(q % fi + 1) * cin,
+                             px * co:(px + 1) * co].set(
+                        comp[ky, _PHASE_ROWS[f_x][ox]])
+    return k
+
+
+def _foldx_up_blur_kernel(c: int, fi: int, dtype) -> jax.Array:
+    """Blur-upsample of a fold-x map (fold fi) to fold 2fi on the doubled
+    grid: (4,3, fi*c, 2fi*c), lhs_dilation=(2,1), padding=((2,2),(1,1)).
+    y: tap row m + offy lands at kernel row 2 - (Y%2) + 2*offy."""
+    fb, offs = _blur_taps()
+    fb = fb.astype(dtype)
+    fo = 2 * fi
+    k = jnp.zeros((4, 3, fi * c, fo * c), dtype=dtype)
+    eye = jnp.eye(c, dtype=dtype)
+    for f_y in range(2):
+        for (offy, ty) in offs[f_y]:
+            ky = 2 - f_y + 2 * offy
+            for px in range(fo):
+                f_x = px % 2
+                for (offx, tx) in offs[f_x]:
+                    q = px // 2 + offx
+                    k = k.at[ky, q // fi + 1,
+                             (q % fi) * c:(q % fi + 1) * c,
+                             px * c:(px + 1) * c].set(fb[ty, tx] * eye)
+    return k
+
+
+def _foldx_conv(x, k, up: bool):
+    if up:
+        return lax.conv_general_dilated(
+            x, k, window_strides=(1, 1),
+            padding=((k.shape[0] // 2, k.shape[0] // 2), (1, 1)),
+            lhs_dilation=(2, 1), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if k.shape[0] == 1:
+        return lax.dot_general(x, k[0, 0], (((3,), (0,)), ((), ())))
+    return lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _cvec_fold(v, f):
+    """(B, C) per-sample channel vector -> fold-x lane layout (tile f)."""
+    return jnp.tile(v, (1, f))[:, None, None, :]
+
+
 def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool = False,
                      fmt: str = "NHWC", entry: bool = False):
     """Styled conv: modulation -> conv (or lhs-dilated 'transposed' conv) ->
@@ -239,6 +318,23 @@ def modulated_conv2d(p: dict, x, style, demodulate: bool = True, upsample: bool 
     kh = w.shape[0]
     s = nn.linear(p["mod"], style)  # (B, in); bias_init=1 folded in converter
     s, d = _modulate(w, s, demodulate)
+
+    if fmt == "FOLDX":
+        fi = x.shape[-1] // w.shape[2]  # current x-fold (1 at the entry block)
+        x = x * _cvec_fold(s, fi)
+        if upsample:
+            k = _foldx_up_kernel(w, fi)
+            fo = 2 * fi
+        elif kh == 1:
+            k = s2d_ops.fold_x_diag_1x1_kernel(w, fi)
+            fo = fi
+        else:
+            k = s2d_ops.fold_x_same_conv_kernel(w, fi)
+            fo = fi
+        x = _foldx_conv(x, k, upsample)
+        if d is not None:
+            x = x * _cvec_fold(d, fo)
+        return x
 
     if fmt == "S2D":
         # Blur is folded into the S2D kernels; demod is per-phase-tiled.
@@ -313,9 +409,22 @@ def styled_conv(p: dict, x, style, noise=None, upsample: bool = False, fmt: str 
             n_s2d = s2d_ops.to_s2d(noise)  # (1, h, w, 4)
             x = (x.reshape(b, h, w, 4, c4 // 4)
                  + p["noise_weight"] * n_s2d[..., None]).reshape(b, h, w, c4)
+        elif fmt == "FOLDX":
+            # noise (nb, H, W, 1) broadcasts over channels: fold x into
+            # lanes, then repeat each folded pixel's value over the C true
+            # channels — lane layout hx*C + c, no relayout of x.
+            wg = x.shape[2]
+            f = noise.shape[2] // wg
+            n_f = noise.reshape(noise.shape[0], noise.shape[1], wg, f)
+            x = x + p["noise_weight"] * jnp.repeat(n_f, x.shape[-1] // f, axis=-1)
         else:
             x = x + p["noise_weight"] * noise
-    bias = jnp.tile(p["act_bias"], 4) if fmt == "S2D" else p["act_bias"]
+    if fmt == "S2D":
+        bias = jnp.tile(p["act_bias"], 4)
+    elif fmt == "FOLDX":
+        bias = jnp.tile(p["act_bias"], x.shape[-1] // p["act_bias"].shape[0])
+    else:
+        bias = p["act_bias"]
     return fused_leaky_relu(x, bias, channel_axis=1 if fmt == "NCHW" else -1)
 
 
@@ -326,11 +435,17 @@ def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC", entry: bool = False)
         out = out + p["bias"][:, None, None]
     elif fmt == "S2D":
         out = out + jnp.tile(p["bias"], 4)
+    elif fmt == "FOLDX":
+        out = out + jnp.tile(p["bias"], out.shape[-1] // 3)
     else:
         out = out + p["bias"]
     if skip is not None:
         # Upsample(blur): kernel gain 4, pad0=(p+1)//2+f-1, pad1=p//2, p=len-2.
-        if fmt == "S2D":
+        if fmt == "FOLDX":
+            fi = skip.shape[-1] // 3  # 1 at the entry block (plain NHWC skip)
+            k = _foldx_up_blur_kernel(3, fi, skip.dtype)
+            skip = _foldx_conv(skip, k, up=True)
+        elif fmt == "S2D":
             c = skip.shape[-1] if entry else skip.shape[-1] // 4
             if entry:  # NHWC skip -> S2D skip on the same grid
                 k, dil, pad = _s2d_entry_blur_kernel(c, skip.dtype), (1, 1), 1
@@ -357,6 +472,8 @@ def _finish_skip(skip, fmt: str, out_layout: str):
         if out_layout == "s2d":
             return skip
         skip = s2d_ops.from_s2d(skip)
+    elif fmt == "FOLDX":
+        skip = s2d_ops.unfold_x(skip, skip.shape[-1] // 3)  # pure reshape
     if out_layout == "s2d":
         # Tail never entered S2D (small resolutions / nchw layout): pay one
         # transpose so the contract holds everywhere.
@@ -378,8 +495,10 @@ class StyleGAN2Generator:
     # the cheap low-res activations, trading a little HBM for less backward
     # recompute; False = store everything.
     remat: bool | str = False
-    # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth,
-    # fastest — see the S2D section above), "nchw", or "nhwc" (plain).
+    # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth;
+    # the training default — the pair handoff consumes s2d output), "foldx"
+    # (1D x-fold; the fastest RENDER layout — its C=64 section runs 2x-dense
+    # convs vs s2d's 4x), "nchw", or "nhwc" (plain).
     tail_layout: str = "s2d"
 
     @property
@@ -491,7 +610,7 @@ class StyleGAN2Generator:
         transpose); the training step hands this straight to the
         reconstructor's S2D stem (``Reconstructor.apply_pair_s2d``).
         """
-        if self.tail_layout not in ("s2d", "nchw", "nhwc"):
+        if self.tail_layout not in ("s2d", "nchw", "nhwc", "foldx"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r}")
         if out_layout not in ("nhwc", "s2d"):
             raise ValueError(f"unknown out_layout {out_layout!r}")
@@ -562,6 +681,12 @@ class StyleGAN2Generator:
                     # The upsample conv of this block performs the NHWC -> S2D
                     # transition for the main path; ToRGB does it for skip.
                     fmt, entry = "S2D", True
+                elif self.tail_layout == "foldx":
+                    # No explicit entry step: the fold factor is derived from
+                    # the activation lanes per op (fold 1 == plain NHWC at the
+                    # transition block), so the up-conv/blur kernels fold as
+                    # they upsample.
+                    fmt = "FOLDX"
                 elif self.tail_layout == "nchw":
                     out = jnp.transpose(out, (0, 3, 1, 2))
                     skip = jnp.transpose(skip, (0, 3, 1, 2))

@@ -62,23 +62,9 @@ _UP_ROWS = {0: ((-1, (0,)), (0, (1, 2))), 1: ((0, (0, 1)), (1, (2,)))}
 
 
 # ---------------------------------------------------------------------------
-# Fold-layout helpers (XLA side)
+# Fold-layout helpers (XLA side; canonical definitions in ops/s2d.py)
 
-def fold_x(x: jax.Array, f: int) -> jax.Array:
-    """(B, H, W, C) -> (B, H, W/f, f*C); fold f consecutive x-pixels into
-    lanes (lane layout hx*C + c). f=1 is a no-op."""
-    if f == 1:
-        return x
-    b, h, w, c = x.shape
-    return x.reshape(b, h, w // f, f * c)
-
-
-def unfold_x(x: jax.Array, f: int) -> jax.Array:
-    """(B, H, W/f, f*C) -> (B, H, W, C)."""
-    if f == 1:
-        return x
-    b, h, wg, fc = x.shape
-    return x.reshape(b, h, wg * f, fc // f)
+from warpedganspace_tpu.ops.s2d import fold_x, unfold_x  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,47 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def fold_x(x: jax.Array, f: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/f, f*C): fold f consecutive x-pixels into
+    lanes (lane layout hx*C + c; a pure reshape). The 1D analog of ``to_s2d``:
+    at the same 128-lane fill it halves the dense-FLOP factor of same-grid
+    convs (f x vs the 2D form's 4x for C=64). f=1 is a no-op."""
+    if f == 1:
+        return x
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // f, f * c)
+
+
+def unfold_x(x: jax.Array, f: int) -> jax.Array:
+    """(B, H, W/f, f*C) -> (B, H, W, C)."""
+    if f == 1:
+        return x
+    b, h, wg, fc = x.shape
+    return x.reshape(b, h, wg * f, fc // f)
+
+
+def fold_x_same_conv_kernel(w: jax.Array, f: int) -> jax.Array:
+    """(3,3,C,Co) same-grid conv weight -> (3,3,f*C,f*Co) fold-x kernel
+    (stride 1, padding 1 on the folded grid)."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((3, 3, f * c, f * co), dtype=w.dtype)
+    for px in range(f):
+        for ox in (-1, 0, 1):
+            q = px + ox
+            k = k.at[:, q // f + 1, (q % f) * c:(q % f + 1) * c,
+                     px * co:(px + 1) * co].set(w[:, ox + 1])
+    return k
+
+
+def fold_x_diag_1x1_kernel(w: jax.Array, f: int) -> jax.Array:
+    """(1,1,C,Co) 1x1 conv weight -> block-diagonal (1,1,f*C,f*Co)."""
+    _, _, c, co = w.shape
+    k = jnp.zeros((1, 1, f * c, f * co), dtype=w.dtype)
+    for px in range(f):
+        k = k.at[0, 0, px * c:(px + 1) * c, px * co:(px + 1) * co].set(w[0, 0])
+    return k
+
+
 def to_s2d(x: jax.Array) -> jax.Array:
     """(B, H, W, C) -> (B, H/2, W/2, 4C)."""
     b, h, w, c = x.shape
