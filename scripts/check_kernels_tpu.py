@@ -14,6 +14,7 @@ Exits nonzero on any mismatch. Covers:
 - fused RBF warp kernel (`ops/rbf_pallas.py`) at the traversal pattern
 - fused SA attention fwd + bwd (`ops/attn_pallas.py`) at BigGAN-128 shapes
 - fused ProgGAN tail (`ops/proggan_tail_pallas.py`) at the real 1024^2 chain
+- fused StyleGAN2 tail (`ops/sg2_tail_pallas.py`, experimental) at 1024^2
 """
 import sys
 
@@ -154,6 +155,29 @@ def main():
           f"-> {'ok' if psnr > 40.0 else 'MISMATCH'}")
     if psnr <= 40.0:
         fail("proggan tail PSNR below 40 dB")
+
+    # ---- fused StyleGAN2 tail (experimental path) at 1024^2 ---------------
+    from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator
+
+    gen_pl = StyleGAN2Generator(resolution=1024, tail_layout="pallas")
+    gen_fx = StyleGAN2Generator(resolution=1024, tail_layout="foldx")
+    p = jax.jit(lambda k: gen_pl.init(k))(jax.random.key(5))
+    p16 = cast_params_bf16(p)
+    z = jax.random.normal(jax.random.key(6), (4, 512))
+
+    print("StyleGAN2 fused tail (bf16) vs fold-x composition (f32):")
+    ref = jax.jit(lambda p, z: gen_fx.apply(p, z))(p, z)
+    got = jax.jit(lambda p, z: gen_pl.apply(p, z))(p16, z.astype(jnp.bfloat16))
+    ref_np, got_np = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    if not np.all(np.isfinite(got_np)):
+        fail("stylegan2 tail: non-finite output")
+    mse = float(np.mean((ref_np - got_np) ** 2))
+    rng = float(ref_np.max() - ref_np.min())
+    psnr = 10.0 * np.log10(rng * rng / max(mse, 1e-30))
+    print(f"  stylegan2 tail PSNR vs f32-foldx: {psnr:.1f} dB "
+          f"-> {'ok' if psnr > 40.0 else 'MISMATCH'}")
+    if psnr <= 40.0:
+        fail("stylegan2 tail PSNR below 40 dB")
 
     print("ALL KERNEL CHECKS PASSED on", jax.devices()[0])
 

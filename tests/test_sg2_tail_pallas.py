@@ -125,3 +125,63 @@ def test_fused_section_validates_shapes():
         stp.fused_section(x, **bad)
     with pytest.raises(ValueError):
         stp.fused_section(x[..., :64], **args)
+
+
+# ---------------------------------------------------------------------------
+# Model-level routing (StyleGAN2Generator tail_layout='pallas')
+
+def _small_gens(resolution):
+    base = sg.StyleGAN2Generator(resolution=resolution, n_mlp=2,
+                                 channel_multiplier=1)
+    return (dc.replace(base, tail_layout="pallas"),
+            dc.replace(base, tail_layout="foldx"))
+
+
+@pytest.mark.parametrize("resolution", [256, 512])
+def test_model_pallas_tail_matches_foldx(resolution):
+    # resolution 256 @ cm=1 engages one fused section (C=64); 512 engages two
+    # (C=64 then C=32, exercising the x2 handoff between kernels).
+    gen_p, gen_f = _small_gens(resolution)
+    params = gen_f.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    with jax.default_matmul_precision("highest"):
+        ref = np.asarray(gen_f.apply(params, z))
+        got = np.asarray(gen_p.apply(params, z))
+    assert got.shape == ref.shape == (2, resolution, resolution, 3)
+    np.testing.assert_allclose(got, ref, atol=5e-5, rtol=5e-5)
+
+
+def test_model_pallas_s2d_out_falls_back_to_s2d():
+    gen_p, _ = _small_gens(256)
+    gen_s = dc.replace(gen_p, tail_layout="s2d")
+    params = gen_p.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (2, 512))
+    a = gen_p.apply(params, z, out_layout="s2d")
+    b = gen_s.apply(params, z, out_layout="s2d")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_pallas_randomized_noise_falls_back_to_foldx():
+    gen_p, gen_f = _small_gens(256)
+    params = gen_p.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 512))
+    a = gen_p.synthesis(params, jnp.repeat(gen_p.style(params, z)[:, None, :],
+                                           gen_p.n_latent, axis=1),
+                        randomize_noise=True, noise_key=jax.random.key(7))
+    b = gen_f.synthesis(params, jnp.repeat(gen_f.style(params, z)[:, None, :],
+                                           gen_f.n_latent, axis=1),
+                        randomize_noise=True, noise_key=jax.random.key(7))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_model_pallas_grad_safety_net():
+    # Differentiating the pallas path must work (fold-x twin VJP) and match
+    # the fold-x composition's gradient.
+    gen_p, gen_f = _small_gens(256)
+    params = gen_p.init(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (1, 512))
+    with jax.default_matmul_precision("highest"):
+        gp = jax.grad(lambda z: jnp.sum(gen_p.apply(params, z) ** 2))(z)
+        gf = jax.grad(lambda z: jnp.sum(gen_f.apply(params, z) ** 2))(z)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gf),
+                               atol=2e-4, rtol=2e-4)

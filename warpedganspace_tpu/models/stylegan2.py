@@ -33,7 +33,9 @@ Activations NHWC; weights HWIO.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -462,6 +464,73 @@ def to_rgb(p: dict, x, style, skip=None, fmt: str = "NHWC", entry: bool = False)
     return out
 
 
+# How many final tail sections run through the fused kernel (the earlier
+# thin-channel sections run fold-x). Overridable for A/B measurement.
+_PALLAS_SECTIONS = int(os.environ.get("WGS_SG2_PALLAS_SECTIONS", "99"))
+
+
+def _pallas_tail_impl(gen, idx_lo, fmt_in, params, latent, noise, out, skip):
+    """Fused Pallas tail: blocks [idx_lo, end) on NHWC carry ``out`` with the
+    skip chain accumulated in the kernel's k-merged RGB layout
+    (ops/sg2_tail_pallas.py). Returns the final skip (B, R, WG/k, k*3*fo)."""
+    from warpedganspace_tpu.ops import sg2_tail_pallas as stp
+
+    x = out  # fold-1 (the transition block's input has 2C = Cin channels)
+    i = 1 + 2 * idx_lo
+    n_idx = len(params["to_rgbs"])
+    for idx in range(idx_lo, n_idx):
+        cu = params["convs"][2 * idx]
+        cs = params["convs"][2 * idx + 1]
+        rgb_p = params["to_rgbs"][idx]
+        s1, d1 = _modulate(cu["w"], nn.linear(cu["mod"], latent[:, i]), True)
+        s2v, d2 = _modulate(cs["w"], nn.linear(cs["mod"], latent[:, i + 1]), True)
+        s3 = nn.linear(rgb_p["mod"], latent[:, i + 2])
+        want_x2 = idx < n_idx - 1
+        res = stp.fused_section(
+            x, cu["w"], cs["w"], rgb_p["w"], s1, d1, s2v, d2, s3,
+            noise[2 * idx + 1], cu["noise_weight"], cu["act_bias"],
+            noise[2 * idx + 2], cs["noise_weight"], cs["act_bias"],
+            rgb_p["bias"], want_x2=want_x2)
+        rgb_m, x = res if want_x2 else (res, None)
+        # Skip chain: blur-upsample the accumulated skip directly INTO the
+        # kernel's k-merged layout (a fold-x intermediate would materialize
+        # the padded-tile thin-lane layout — measured +10-20 ms/batch96/hop).
+        skip = rgb_m + stp.merged_skip_blur_up(skip, rgb_m.shape[-1] // 3)
+        i += 2
+    return skip
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _pallas_tail_op(gen, idx_lo, fmt_in, params, latent, noise, out, skip):
+    return _pallas_tail_impl(gen, idx_lo, fmt_in, params, latent, noise, out,
+                             skip)
+
+
+def _pallas_tail_fwd(gen, idx_lo, fmt_in, params, latent, noise, out, skip):
+    return (_pallas_tail_impl(gen, idx_lo, fmt_in, params, latent, noise, out,
+                              skip),
+            (params, latent, noise, out, skip))
+
+
+def _pallas_tail_bwd(gen, idx_lo, fmt_in, res, ct):
+    # Safety net only (renders never differentiate G; training uses the s2d
+    # composition): the backward runs the exact fold-x twin.
+    params, latent, noise, out, skip = res
+
+    def twin(params, latent, noise, out, skip):
+        g = dataclasses.replace(gen, tail_layout="foldx")
+        _, sk, _ = g._synth_range(
+            params, latent, noise, out, skip, idx_lo,
+            len(params["to_rgbs"]), fmt_in)
+        return sk.reshape(ct.shape)
+
+    _, vjp = jax.vjp(twin, params, latent, noise, out, skip)
+    return vjp(ct)
+
+
+_pallas_tail_op.defvjp(_pallas_tail_fwd, _pallas_tail_bwd)
+
+
 def _finish_skip(skip, fmt: str, out_layout: str):
     """Synthesis epilogue: convert the accumulated RGB skip from the tail's
     internal fmt to the requested output layout (shared by ``synthesis`` and
@@ -474,6 +543,11 @@ def _finish_skip(skip, fmt: str, out_layout: str):
         skip = s2d_ops.from_s2d(skip)
     elif fmt == "FOLDX":
         skip = s2d_ops.unfold_x(skip, skip.shape[-1] // 3)  # pure reshape
+    elif fmt == "PALLAS":
+        # k-merged RGB (B, R, WG/k, k*3*fo): row-major in true x, so the
+        # image is one logical reshape away.
+        b, r, wgk, lanes = skip.shape
+        skip = skip.reshape(b, r, wgk * lanes // 3, 3)
     if out_layout == "s2d":
         # Tail never entered S2D (small resolutions / nchw layout): pay one
         # transpose so the contract holds everywhere.
@@ -497,8 +571,15 @@ class StyleGAN2Generator:
     remat: bool | str = False
     # Layout of the <128-channel high-resolution tail: "s2d" (space-to-depth;
     # the training default — the pair handoff consumes s2d output), "foldx"
-    # (1D x-fold; the fastest RENDER layout — its C=64 section runs 2x-dense
-    # convs vs s2d's 4x), "nchw", or "nhwc" (plain).
+    # (1D x-fold; the PRODUCTION render layout on TPU), "nchw", "nhwc"
+    # (plain), or "pallas" (fused section kernel, ops/sg2_tail_pallas.py —
+    # EXPERIMENTAL: beats the isolated fold-x sections by 12-16% at B=96 bf16
+    # but loses end-to-end (240 vs 202 ms) to XLA's cross-block fusion plus
+    # the layout-conversion copies XLA inserts at every pallas boundary; see
+    # PERFORMANCE.md "The fused StyleGAN2 tail kernel". Falls back to "s2d"
+    # for out_layout="s2d" and to "foldx" for randomized/explicit noise or
+    # partial head/tail ranges, with a fold-x custom_vjp so gradients stay
+    # exact).
     tail_layout: str = "s2d"
 
     @property
@@ -610,12 +691,23 @@ class StyleGAN2Generator:
         transpose); the training step hands this straight to the
         reconstructor's S2D stem (``Reconstructor.apply_pair_s2d``).
         """
-        if self.tail_layout not in ("s2d", "nchw", "nhwc", "foldx"):
+        if self.tail_layout not in ("s2d", "nchw", "nhwc", "foldx", "pallas"):
             raise ValueError(f"unknown tail_layout {self.tail_layout!r}")
         if out_layout not in ("nhwc", "s2d"):
             raise ValueError(f"unknown out_layout {out_layout!r}")
         if self.remat not in (True, False, "tail"):
             raise ValueError(f"unknown remat policy {self.remat!r}")
+        if self.tail_layout == "pallas":
+            if out_layout == "s2d":
+                # The pair-handoff training path stays on the autodiff-native
+                # s2d composition (the kernel is an inference fast path).
+                return dataclasses.replace(self, tail_layout="s2d").synthesis(
+                    params, latent, noise, randomize_noise, noise_key, out_layout)
+            if randomize_noise or noise is not None:
+                # The kernel bakes the FIXED noise buffers into its epilogue
+                # maps; random/explicit noise runs the fold-x composition.
+                return dataclasses.replace(self, tail_layout="foldx").synthesis(
+                    params, latent, noise, randomize_noise, noise_key, out_layout)
         b = latent.shape[0]
         if noise is None:
             if randomize_noise:
@@ -676,8 +768,18 @@ class StyleGAN2Generator:
             entry = False
             # Re-lay-out the <128-channel tail: NHWC pads C to the 128-wide
             # lane dimension there (measured 4-5x HBM/bandwidth waste).
+            if self.tail_layout == "pallas" and ch[res] < 128 and \
+                    fmt in ("NHWC", "FOLDX") and idx_hi == len(params["to_rgbs"]) \
+                    and len(params["to_rgbs"]) - idx <= _PALLAS_SECTIONS:
+                skip = _pallas_tail_op(
+                    self, idx, fmt, params, latent, list(noise), out, skip)
+                return None, skip, "PALLAS"
             if fmt == "NHWC" and ch[res] < 128:
-                if self.tail_layout == "s2d":
+                if self.tail_layout == "pallas":
+                    # Earlier thin-channel blocks (and partial head/tail
+                    # ranges) keep the exact fold-x composition.
+                    fmt = "FOLDX"
+                elif self.tail_layout == "s2d":
                     # The upsample conv of this block performs the NHWC -> S2D
                     # transition for the main path; ToRGB does it for skip.
                     fmt, entry = "S2D", True

@@ -175,6 +175,94 @@ def _nb_map(noise: jax.Array, nw: jax.Array, bias: jax.Array, c: int,
 
 
 # ---------------------------------------------------------------------------
+# Merged-layout skip blur-upsample (XLA side).
+#
+# The skip chain between fused sections must stay in the kernel's k-merged
+# RGB layout: a fold-x (3*fo <= 24 lane) intermediate materializes the padded
+# (8, 128) HBM tiling (~10x write amplification; measured +10-20 ms/batch96
+# per level hop). These builders emit the blur-upsample ([1,3,3,1] FIR, up 2,
+# reference ModulatedConv2d/ToRGB skip path) directly in merged fold fm.
+
+def _blur_fb_offs():
+    k1 = np.asarray([1.0, 3.0, 3.0, 1.0], np.float32)
+    blur = np.outer(k1, k1)
+    fb = np.flip(blur / blur.sum() * 4.0, (0, 1))
+    # per output phase f: [(full-grid offset, tap index)] (ops/s2d._blur_taps)
+    offs = {0: [(-1, 0), (0, 2)], 1: [(0, 1), (1, 3)]}
+    return fb, offs
+
+
+def _merged_blur_single_kernel(fp: int, fm: int, c: int, dtype):
+    """fold-fp skip -> merged fold-fm on the doubled grid, ONE strided conv:
+    kernel (4, fm//(2*fp) + 2, fp*c, fm*c), strides (1, fm//(2*fp)),
+    lhs_dilation (2, 1), padding ((2,2),(1,1)). Requires (fm//2) % fp == 0."""
+    fb, offs = _blur_fb_offs()
+    sg = fm // (2 * fp)
+    k = np.zeros((4, sg + 2, fp * c, fm * c), np.float32)
+    eye = np.eye(c, dtype=np.float32)
+    for fy in range(2):
+        for (offy, ty) in offs[fy]:
+            ky = 2 - fy + 2 * offy
+            for px in range(fm):
+                fx = px % 2
+                for (offx, tx) in offs[fx]:
+                    q = px // 2 + offx
+                    jg, sl = q // fp + 1, q % fp
+                    k[ky, jg, sl * c:(sl + 1) * c,
+                      px * c:(px + 1) * c] += fb[ty, tx] * eye
+    return jnp.asarray(k, dtype)
+
+
+def _merged_blur_pair_kernels(fm: int, c: int, dtype):
+    """fold-fm skip -> merged fold-fm on the doubled grid (stride would be
+    half a group): TWO window-2 stride-1 convs (even / odd output groups),
+    interleaved on the group axis by the caller."""
+    fb, offs = _blur_fb_offs()
+    ks = [np.zeros((4, 2, fm * c, fm * c), np.float32) for _ in range(2)]
+    eye = np.eye(c, dtype=np.float32)
+    for par, base in ((0, 0), (1, fm // 2)):
+        for fy in range(2):
+            for (offy, ty) in offs[fy]:
+                ky = 2 - fy + 2 * offy
+                for px in range(fm):
+                    fx = px % 2
+                    for (offx, tx) in offs[fx]:
+                        q = base + px // 2 + offx   # even: [-1, fm//2];
+                        # window groups: even [t-1, t], odd [t, t+1]
+                        jg = q // fm + (1 - par)    # odd: [fm//2-1, fm]
+                        sl = q % fm
+                        ks[par][ky, jg, sl * c:(sl + 1) * c,
+                                px * c:(px + 1) * c] += fb[ty, tx] * eye
+    return jnp.asarray(ks[0], dtype), jnp.asarray(ks[1], dtype)
+
+
+def merged_skip_blur_up(skip: jax.Array, fm: int) -> jax.Array:
+    """Blur-upsample an RGB skip to the doubled grid in merged fold ``fm``.
+
+    skip: (B, H, G, fp*3) fold-x/merged RGB (fp = lanes/3; fp=1 is plain
+    NHWC). Returns (B, 2H, 2H*3... ) -> (B, 2H, W2/fm, fm*3)."""
+    c = 3
+    fp = skip.shape[-1] // c
+    dn = ("NHWC", "HWIO", "NHWC")
+    if fp == fm:
+        ke, ko = _merged_blur_pair_kernels(fm, c, skip.dtype)
+        even = lax.conv_general_dilated(
+            skip, ke, window_strides=(1, 1), padding=((2, 2), (1, 0)),
+            lhs_dilation=(2, 1), dimension_numbers=dn)
+        odd = lax.conv_general_dilated(
+            skip, ko, window_strides=(1, 1), padding=((2, 2), (0, 1)),
+            lhs_dilation=(2, 1), dimension_numbers=dn)
+        b, r2, n, lanes = even.shape
+        return jnp.stack([even, odd], axis=3).reshape(b, r2, 2 * n, lanes)
+    if (fm // 2) % fp != 0:
+        raise ValueError(f"unsupported fold pair fp={fp} fm={fm}")
+    k = _merged_blur_single_kernel(fp, fm, c, skip.dtype)
+    return lax.conv_general_dilated(
+        skip, k, window_strides=(1, fm // (2 * fp)), padding=((2, 2), (1, 1)),
+        lhs_dilation=(2, 1), dimension_numbers=dn)
+
+
+# ---------------------------------------------------------------------------
 # In-kernel helpers (resident values).
 
 def _shift_wg(z: jax.Array, q: int) -> jax.Array:
