@@ -185,3 +185,19 @@ def test_model_pallas_grad_safety_net():
         gf = jax.grad(lambda z: jnp.sum(gen_f.apply(params, z) ** 2))(z)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gf),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_merged_skip_blur_up_matches_foldx_blur():
+    # All three fold regimes: entry (fp=1 -> fm), strided (fp=2 -> fm) and
+    # the equal-fold pair path (fp == fm), against the fold-x blur-upsample
+    # composition + logical reshape.
+    r_in, w_in = 16, 64
+    for fp, fm in [(1, 8), (2, 8), (8, 8)]:
+        skip = jax.random.normal(jax.random.key(fp), (2, r_in, w_in // fp, fp * 3))
+        got = stp.merged_skip_blur_up(skip, fm)
+        kk = sg._foldx_up_blur_kernel(3, fp, skip.dtype)
+        ref = sg._foldx_conv(skip, kk, up=True)  # (2, 2r, w/fp... fold 2fp)
+        ref = ref.reshape(got.shape)
+        assert got.shape == (2, 2 * r_in, 2 * w_in // fm, fm * 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
