@@ -104,6 +104,25 @@ def test_attribute_and_ranking_e2e(tmp_path, monkeypatch, random_predictors):
     np_dir = osp.join(res, hashes[0], "eval_np")
     json_dir = osp.join(res, hashes[0], "eval_json")
 
+    # --multi-device (VERDICT r3 item 7): the frame batches shard over the
+    # virtual 8-device mesh (path length 5 pads to 8 by repeating the last
+    # frame); every eval_np array must reproduce the single-device result.
+    import os
+    import shutil
+
+    single_np = {f: np.load(osp.join(np_dir, f)) for f in os.listdir(np_dir)}
+    shutil.rmtree(np_dir)
+    shutil.rmtree(json_dir)
+    traverse_attribute_space.main([
+        "--exp", exp, "--pool", "p1", "--shift-steps", "2", "--eps", "0.2",
+        "--multi-device",
+    ])
+    multi_np = {f: np.load(osp.join(np_dir, f)) for f in os.listdir(np_dir)}
+    assert set(multi_np) == set(single_np)
+    for f in single_np:
+        np.testing.assert_allclose(multi_np[f], single_np[f], rtol=1e-4,
+                                   atol=1e-5, err_msg=f)
+
     # Full eval_np schema (reference :538-605).
     expected = [
         "face_width", "face_height", "identity", "age", "race", "gender",

@@ -1,0 +1,157 @@
+"""CLI-level multi-PROCESS coverage (VERDICT r3 item 1).
+
+Two jax.distributed processes x 2 local CPU devices each run the ACTUAL CLIs
+(sample_gan -> train --multi-device -> traverse_latent_space) against one
+shared experiment tree — the DCN-over-shared-filesystem topology SURVEY §2.5
+names. The run must produce ONE consistent tree (process-0-gated writes, no
+racing writers) that matches the single-process pipeline numerically:
+
+- train spans a 4-device global mesh (2 hosts x 2 devices); only process 0
+  writes args.json/stats.json/checkpoint.pt/exports and performs the
+  wip->complete copy, with a barrier before traversal consumes it;
+- traversal auto-partitions the latent-code pool across processes (disjoint
+  hash dirs, local-device rendering, no collectives) and collates GIFs on the
+  coordinator after a cross-process barrier.
+"""
+import json
+import os
+import os.path as osp
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
+
+TRAIN_ARGS = [
+    "--gan-type", "SNGAN_MNIST", "--reconstructor-type", "LeNet",
+    "-K", "2", "-D", "2", "--min-shift-magnitude", "0.15",
+    "--max-shift-magnitude", "0.25", "--max-iter", "4", "--batch-size", "8",
+    "--log-freq", "2", "--ckp-freq", "4", "--seed", "11",
+]
+SAMPLE_ARGS = ["-g", "SNGAN_MNIST", "--num-samples", "2", "--pool", "p", "--seed", "2"]
+TRAVERSE_ARGS = ["--pool", "p", "--shift-steps", "2", "--eps", "0.2", "--gif"]
+EXP = osp.join("experiments", "complete", "SNGAN_MNIST-LeNet-K2-D2-eps0.15_0.25")
+RES = osp.join(EXP, "results", "p", "4_0.2_0.8")
+
+_WORKER = """\
+import os
+import sys
+
+import jax
+
+jax.config.update('jax_platforms', 'cpu')
+
+from warpedganspace_tpu.parallel.mesh import initialize_distributed
+
+initialize_distributed('127.0.0.1:{port}', 2, int(sys.argv[1]))
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()
+
+os.chdir({workdir!r})
+os.environ['WGS_ALLOW_RANDOM_G'] = '1'
+
+from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+sample_gan.main({sample_args!r})
+train.main({train_args!r})
+traverse_latent_space.main(['--exp', {exp!r}] + {traverse_args!r})
+print('WORKER', sys.argv[1], 'DONE')
+"""
+
+
+def _read_tree(root):
+    """(stats, codes-per-hash, frames-per-hash, relative file set)."""
+    import cv2
+
+    from warpedganspace_tpu.utils.io import load_pt
+
+    stats = json.load(open(osp.join(root, EXP, "stats.json")))
+    res = osp.join(root, RES)
+    hashes = sorted(d for d in os.listdir(res) if osp.isdir(osp.join(res, d))
+                    and d not in ("paths_gifs", "validation_results"))
+    codes, frames = {}, {}
+    for h in hashes:
+        codes[h] = np.asarray(load_pt(osp.join(res, h, "paths_latent_codes.pt")))
+        fdir = osp.join(res, h, "paths_images", "path_000")
+        frames[h] = np.stack(
+            [cv2.imread(osp.join(fdir, f)) for f in sorted(os.listdir(fdir))])
+    files = set()
+    for dirpath, _, filenames in os.walk(osp.join(root, EXP)):
+        for f in filenames:
+            files.add(osp.relpath(osp.join(dirpath, f), root))
+    return stats, codes, frames, files
+
+
+def _run_single(root, monkeypatch):
+    os.makedirs(root, exist_ok=True)
+    monkeypatch.chdir(root)
+    monkeypatch.setenv("WGS_ALLOW_RANDOM_G", "1")
+    from warpedganspace_tpu.cli import sample_gan, train, traverse_latent_space
+
+    sample_gan.main(SAMPLE_ARGS)
+    train.main(TRAIN_ARGS)
+    traverse_latent_space.main(["--exp", EXP] + TRAVERSE_ARGS)
+
+
+def test_cli_pipeline_two_processes_matches_single(tmp_path, monkeypatch):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    workdir = tmp_path / "multi"
+    workdir.mkdir()
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_WORKER.format(
+        port=port, workdir=str(workdir), sample_args=SAMPLE_ARGS,
+        train_args=TRAIN_ARGS + ["--multi-device"], exp=EXP,
+        traverse_args=TRAVERSE_ARGS))
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i]}"
+        assert f"WORKER {i} DONE" in outs[i]
+
+    single_root = tmp_path / "single"
+    _run_single(single_root, monkeypatch)
+
+    s1, c1, f1, files1 = _read_tree(str(single_root))
+    s2, c2, f2, files2 = _read_tree(str(workdir))
+
+    # ONE consistent tree: exactly the single-process file set — nothing
+    # missing (a gated write that nobody performed) and nothing extra
+    # (a duplicate writer).
+    assert files2 == files1, (files2 ^ files1)
+
+    # Training stats: same sample stream; 4-device SPMD == single-device
+    # numerics up to reduction order.
+    for it in s1:
+        for k in s1[it]:
+            np.testing.assert_allclose(s1[it][k], s2[it][k], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"{it}[{k}]")
+
+    # Traversal: each process wrote its disjoint hash subset; together they
+    # reproduce the single-process codes and frames (JPEG of uint8 renders
+    # may differ in the last bit -> allow 2 gray levels).
+    assert set(c1) == set(c2)
+    for h in c1:
+        np.testing.assert_allclose(c2[h], c1[h], rtol=1e-4, atol=1e-4)
+        assert f1[h].shape == f2[h].shape
+        assert np.max(np.abs(f1[h].astype(int) - f2[h].astype(int))) <= 2
+
+    # GIF collation ran exactly once (coordinator, post-barrier) and saw ALL
+    # processes' frames.
+    gif_dir = osp.join(str(workdir), RES, "paths_gifs")
+    assert osp.isdir(gif_dir)
+    assert sorted(os.listdir(gif_dir)) == sorted(
+        os.listdir(osp.join(str(single_root), RES, "paths_gifs")))

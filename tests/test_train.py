@@ -347,3 +347,43 @@ def test_trainer_profile_writes_trace(tmp_path):
     assert osp.isdir(prof_dir)
     found = [f for _, _, fs in os.walk(prof_dir) for f in fs]
     assert found, "profiler trace directory is empty"
+
+
+def test_train_step_scan_matches_single_steps():
+    """k-step lax.scan chunking (make_train_step_scan) reproduces k
+    individual step() calls: same sample stream (pure function of (seed,
+    iteration)), same final state, per-iteration metrics stacked in order.
+    Numerics match up to XLA fusion/reduction-order differences between the
+    scanned body and the standalone step program. For R's params that bound
+    is a few lr units: early Adam updates are sign-like (g/sqrt(g^2) = ±1),
+    so a 1e-7 reduction-noise sign flip on a near-zero grad moves a weight by
+     2*lr — per-iteration METRICS matching at 1e-5 is the semantic check."""
+    from warpedganspace_tpu.train import make_train_step_scan
+
+    G, S, R, cfg = _tiny_setup()
+    key = jax.random.key(1)
+    k = 4
+
+    state1 = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg, donate=False)
+    singles = []
+    for it in range(3, 3 + k):
+        state1, m = step(state1, G.params, key, it)
+        singles.append({n: float(v) for n, v in m.items()})
+
+    state2 = init_train_state(key, G, S, R, cfg)
+    stepk = make_train_step_scan(G, S, R, cfg, k=k, donate=False)
+    state2, mk = stepk(state2, G.params, key, 3)
+
+    for i in range(k):
+        for n, v in singles[i].items():
+            np.testing.assert_allclose(float(mk[n][i]), v, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"iter {3 + i} metric {n}")
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(state1["s_params"]),
+                            jax.tree_util.tree_leaves(state2["s_params"])):
+        np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf1),
+                                   rtol=1e-5, atol=1e-6)
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(state1["r_params"]),
+                            jax.tree_util.tree_leaves(state2["r_params"])):
+        np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf1),
+                                   rtol=0, atol=2e-3)

@@ -54,8 +54,19 @@ def build_parser():
 def main(argv=None):
     import jax
 
+    from warpedganspace_tpu.parallel import (
+        initialize_distributed, is_coordinator, sync_processes)
+
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    # Pool creation is cheap and single-writer: under jax.distributed only
+    # process 0 samples/writes; the rest wait at the barrier so downstream
+    # stages see a complete pool.
+    initialize_distributed()
+    if not is_coordinator():
+        sync_processes("sample-gan-done")
+        return
 
     out_dir = osp.join("experiments", "latent_codes", args.gan_type)
     biggan_classes = None
@@ -132,6 +143,7 @@ def main(argv=None):
         update_stdout(1)
         print()
         print()
+    sync_processes("sample-gan-done")
 
 
 if __name__ == "__main__":

@@ -4,6 +4,11 @@ Flag surface and behavior parity with reference ``train.py``; device flags:
 ``--cuda/--no-cuda`` are accepted for drop-in script compatibility but ignored
 (JAX picks the TPU/CPU backend), and ``--multi-device`` (new) shards the batch
 over all visible devices via a data-parallel mesh.
+
+Multi-host: launch one copy per host with COORDINATOR_ADDRESS /
+NUM_PROCESSES / PROCESS_ID set (see parallel.mesh.initialize_distributed) and
+pass --multi-device; the mesh then spans every process's devices over DCN and
+only process 0 writes the experiment tree.
 """
 from __future__ import annotations
 
@@ -15,7 +20,7 @@ from warpedganspace_tpu.config import GAN_RESOLUTIONS, GAN_WEIGHTS, RECONSTRUCTO
 from warpedganspace_tpu.models.gan_load import build_gan
 from warpedganspace_tpu.models.reconstructor import Reconstructor
 from warpedganspace_tpu.models.support_sets import SupportSets
-from warpedganspace_tpu.parallel import make_mesh
+from warpedganspace_tpu.parallel import initialize_distributed, is_coordinator, make_mesh
 from warpedganspace_tpu.train import Trainer
 from warpedganspace_tpu.utils.aux import create_exp_dir
 
@@ -126,6 +131,11 @@ def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    # Multi-host bring-up (env-driven no-op otherwise, idempotent): must run
+    # before the first jax.devices() so the global mesh spans all processes.
+    initialize_distributed()
+    coord = is_coordinator()
+
     # Validate required-in-practice flags BEFORE creating the experiment dir,
     # so a misconfigured launch doesn't litter experiments/wip/ with
     # 'None-...-KNone-DNone' directories carrying an invalid args.json.
@@ -135,19 +145,21 @@ def main(argv=None):
         if val is None:
             parser.error(f"{flag} is required")
 
-    # Create output dir and save current arguments (the args.json contract).
-    exp_dir = create_exp_dir(args)
+    # Create output dir and save current arguments (the args.json contract);
+    # the contract files have exactly one writer under multi-process.
+    exp_dir = create_exp_dir(args, write=coord)
 
-    print("#. Build GAN generator model G and load with pre-trained weights...")
-    print("  \\__GAN type: {}".format(args.gan_type))
-    if args.gan_type == "StyleGAN2":
-        print("  \\__Search for paths in {}-space".format("W" if args.shift_in_w_space else "Z"))
-    if args.z_truncation:
-        print("  \\__Input noise truncation: {}".format(args.z_truncation))
-    print("  \\__Pre-trained weights: {}".format(
-        GAN_WEIGHTS[args.gan_type]["weights"][args.stylegan2_resolution]
-        if args.gan_type == "StyleGAN2"
-        else GAN_WEIGHTS[args.gan_type]["weights"][GAN_RESOLUTIONS[args.gan_type]]))
+    if coord:
+        print("#. Build GAN generator model G and load with pre-trained weights...")
+        print("  \\__GAN type: {}".format(args.gan_type))
+        if args.gan_type == "StyleGAN2":
+            print("  \\__Search for paths in {}-space".format("W" if args.shift_in_w_space else "Z"))
+        if args.z_truncation:
+            print("  \\__Input noise truncation: {}".format(args.z_truncation))
+        print("  \\__Pre-trained weights: {}".format(
+            GAN_WEIGHTS[args.gan_type]["weights"][args.stylegan2_resolution]
+            if args.gan_type == "StyleGAN2"
+            else GAN_WEIGHTS[args.gan_type]["weights"][GAN_RESOLUTIONS[args.gan_type]]))
 
     G = build_gan(
         gan_type=args.gan_type,
@@ -163,15 +175,16 @@ def main(argv=None):
         stylegan2_tail_layout="s2d",
     )
 
-    print("#. Build Support Sets S...")
-    print("  \\__Number of Support Sets    : {}".format(args.num_support_sets))
-    print("  \\__Number of Support Dipoles : {}".format(args.num_support_dipoles))
-    print("  \\__Support Vectors dim       : {}".format(G.dim_z))
-    print("  \\__Learn RBF alphas          : {}".format(args.learn_alphas))
-    print("  \\__Learn RBF gammas          : {}".format(args.learn_gammas))
-    if not args.learn_gammas:
-        print("  \\__RBF gamma                 : {}".format(
-            1.0 / G.dim_z if args.gamma is None else args.gamma))
+    if coord:
+        print("#. Build Support Sets S...")
+        print("  \\__Number of Support Sets    : {}".format(args.num_support_sets))
+        print("  \\__Number of Support Dipoles : {}".format(args.num_support_dipoles))
+        print("  \\__Support Vectors dim       : {}".format(G.dim_z))
+        print("  \\__Learn RBF alphas          : {}".format(args.learn_alphas))
+        print("  \\__Learn RBF gammas          : {}".format(args.learn_gammas))
+        if not args.learn_gammas:
+            print("  \\__RBF gamma                 : {}".format(
+                1.0 / G.dim_z if args.gamma is None else args.gamma))
 
     S = SupportSets(
         num_support_sets=args.num_support_sets,
@@ -182,7 +195,8 @@ def main(argv=None):
         gamma=1.0 / G.dim_z if args.gamma is None else args.gamma,
     )
 
-    print("#. Build reconstructor model R...")
+    if coord:
+        print("#. Build reconstructor model R...")
     R = Reconstructor(
         reconstructor_type=args.reconstructor_type,
         dim=args.num_support_sets,
@@ -192,9 +206,17 @@ def main(argv=None):
     mesh = None
     if args.multi_device and len(jax.devices()) > 1:
         mesh = make_mesh()
-        print("#. Data-parallel mesh over {} devices".format(len(jax.devices())))
+        if coord:
+            print("#. Data-parallel mesh over {} devices / {} processes".format(
+                len(jax.devices()), jax.process_count()))
+    elif jax.process_count() > 1:
+        raise ValueError(
+            "multi-process training requires --multi-device (the train step "
+            "must span the global mesh; two unconnected single-device loops "
+            "would race on the experiment tree)")
 
-    print("#. Experiment: {}".format(exp_dir))
+    if coord:
+        print("#. Experiment: {}".format(exp_dir))
     trn = Trainer(params=args, exp_dir=exp_dir, mesh=mesh, seed=args.seed)
     trn.train(generator=G, support_sets=S, reconstructor=R, profile=args.profile)
 

@@ -69,6 +69,10 @@ def build_parser():
                              "evaluates hashes shard-index::num-shards)")
     parser.add_argument("--shard-index", type=int, default=0,
                         help="this process's shard index in [0, num-shards)")
+    parser.add_argument("--multi-device", action="store_true",
+                        help="shard each path's frame batch over all visible "
+                             "devices (data parallel; the frame axis is padded "
+                             "to the device count and results sliced back)")
     parser.set_defaults(cuda=True)
     return parser
 
@@ -102,7 +106,8 @@ def _prep_path(path_dir: str, gan_type: str):
     return frames256, celeba_in
 
 
-def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool = False):
+def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool = False,
+                      mesh=None):
     """Evaluate all paths of one latent-code hash dir and write eval outputs.
 
     Mirrors the reference per-hash loop (:252-536), restructured as a device
@@ -114,15 +119,34 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
     driven by the host NMS rectangles. Per-path host->device traffic drops
     ~3x (one 256^2 + one 224^2 batch instead of six full batches) and the
     host's per-crop cv2 resizes disappear.
+
+    With ``mesh`` (the --multi-device flag), the frame axis of every device
+    batch is sharded over the mesh: the path length (always odd, 2*steps+1)
+    is padded to the device count by repeating the last frame, all predictor
+    outputs come back frame-sharded and are sliced to the true length —
+    numerically the single-device result up to reduction order.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    import jax
     import jax.numpy as jnp
     from warpedganspace_tpu.evalzoo.hopenet import Hopenet
+    from warpedganspace_tpu.parallel import batch_sharding
 
     paths_latent_codes = np.asarray(load_pt(osp.join(h_dir, "paths_latent_codes.pt")))
     num_of_paths = paths_latent_codes.shape[0]
     num_per_path = paths_latent_codes.shape[1]
+
+    ndev = 1 if mesh is None else int(mesh.devices.size)
+    pad = (-num_per_path) % ndev
+
+    def to_device(x):
+        """Upload a (T, ...) host batch, frame-sharded over the mesh if any."""
+        if mesh is None:
+            return jnp.asarray(x)
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        return jax.device_put(jnp.asarray(x), batch_sharding(mesh))
     path_images_dir = osp.join(h_dir, "paths_images")
     dicts = {k: {} for k in (
         "face_bbox", "id", "gender", "age", "race", "pose", "aus",
@@ -155,12 +179,12 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             if nxt < num_of_paths:
                 prepped[nxt] = pool.submit(
                     _prep_path, osp.join(path_images_dir, f"path_{nxt:03d}"), gan_type)
-            f256_dev = jnp.asarray(frames256)  # the ONE full-frame upload per path
+            f256_dev = to_device(frames256)  # the ONE full-frame upload per path
 
             # --- face detection -------------------------------------------------
             detected_faces, _, _ = predictors["sfd"].detect_from_batch(f256_dev)
             bbox_list, face_w, face_h = [], [], []
-            for t in range(len(detected_faces)):
+            for t in range(num_per_path):
                 if len(detected_faces[t]) > 0:
                     bbox = list(np.asarray(detected_faces[t][0], dtype=float))
                     bbox_list.append(bbox)
@@ -174,9 +198,9 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             nps["face_height"][d] = face_h
 
             # --- CelebA attributes (reference :346-387; input prepped on pool) --
-            preds = predictors["celeba"](jnp.asarray(celeba_in))
+            preds = predictors["celeba"](to_device(celeba_in))
             for attr, logits in preds.items():
-                p = np.asarray(jnp.exp(logits) / jnp.sum(jnp.exp(logits), axis=1, keepdims=True))
+                p = np.asarray(jnp.exp(logits) / jnp.sum(jnp.exp(logits), axis=1, keepdims=True))[:num_per_path]
                 final = (np.argmax(p, axis=1) + np.max(p, axis=1)) / 6.0
                 key = {"Bangs": "celeba_bangs", "Eyeglasses": "celeba_eyeglasses",
                        "No_Beard": "celeba_beard", "Smiling": "celeba_smiling",
@@ -191,7 +215,8 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             # frame batch.
             scaled = f256_dev / 255.0 * 2.0 - 1.0
             center = jnp.broadcast_to(scaled[num_per_path // 2][None], scaled.shape)
-            id_scores = [float(v) for v in predictors["id"].similarities(center, scaled)]
+            id_scores = [float(v) for v in
+                         predictors["id"].similarities(center, scaled)[:num_per_path]]
             dicts["id"][d] = id_scores
             nps["identity"][d] = id_scores
 
@@ -209,7 +234,7 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
                 return crops / 255.0 if divide else crops
 
             ff_in = normalize_imagenet(cropped_batch(224, 0.25, divide=True))
-            outputs = np.asarray(predictors["fairface"](ff_in))
+            outputs = np.asarray(predictors["fairface"](ff_in))[:num_per_path]
 
             gender = np.exp(outputs[:, 7:9])
             gender /= gender.sum(axis=1, keepdims=True)
@@ -231,9 +256,9 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             # --- pose (:475-504) -------------------------------------------------
             hp_in = normalize_imagenet(cropped_batch(224, 0.0, divide=True))
             yaw_l, pitch_l, roll_l = predictors["hopenet"](hp_in)
-            yaw_deg = np.asarray(Hopenet.angles_deg(yaw_l))
-            pitch_deg = np.asarray(Hopenet.angles_deg(pitch_l))
-            roll_deg = np.asarray(Hopenet.angles_deg(roll_l))
+            yaw_deg = np.asarray(Hopenet.angles_deg(yaw_l))[:num_per_path]
+            pitch_deg = np.asarray(Hopenet.angles_deg(pitch_l))[:num_per_path]
+            roll_deg = np.asarray(Hopenet.angles_deg(roll_l))[:num_per_path]
             dicts["pose"][d] = [yaw_deg.tolist(), pitch_deg.tolist(), roll_deg.tolist()]
             nps["yaw"][d] = yaw_deg * np.pi / 180
             nps["pitch"][d] = pitch_deg * np.pi / 180
@@ -241,7 +266,7 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
 
             # --- action units (:512-531) ----------------------------------------
             au_in = cropped_batch(256, 0.0, divide=False)
-            intensities = np.asarray(predictors["au"].detect_AU(au_in)).T  # (12, T)
+            intensities = np.asarray(predictors["au"].detect_AU(au_in)).T[:, :num_per_path]  # (12, T)
             aus_list = []
             for t in range(len(AUs)):
                 aus_list.append(intensities[t].tolist())
@@ -281,6 +306,12 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import jax
+
+    from warpedganspace_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+
     # Same always-on shard validation as traverse_latent_space.py: an invalid
     # combination must fail loudly instead of silently evaluating everything.
     if args.num_shards < 1:
@@ -289,6 +320,25 @@ def main(argv=None):
         raise ValueError(
             f"--shard-index {args.shard_index} out of range for "
             f"{args.num_shards} shards")
+
+    # Under jax.distributed: hash dirs partition over processes automatically
+    # (disjoint files, local-device predictors — same scheme as
+    # traverse_latent_space.py).
+    if jax.process_count() > 1:
+        if args.num_shards != 1:
+            raise ValueError(
+                "--num-shards is for unconnected hosts; under jax.distributed "
+                "the hash dirs are partitioned over processes automatically")
+        args.num_shards = jax.process_count()
+        args.shard_index = jax.process_index()
+
+    mesh = None
+    if args.multi_device:
+        from warpedganspace_tpu.parallel import make_mesh
+
+        devs = jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        if len(devs) > 1:
+            mesh = make_mesh(devs)
 
     latent_traversal_dir = osp.join(args.exp, "results", args.pool)
     if not osp.isdir(args.exp):
@@ -335,7 +385,7 @@ def main(argv=None):
             if args.verbose:
                 print("           \\__.hash: {} [{}/{}]".format(h, cnt, len(hashes)))
             evaluate_hash_dir(osp.join(hashes_dir, h), predictors, gan_type,
-                              verbose=args.verbose)
+                              verbose=args.verbose, mesh=mesh)
 
     if args.verbose:
         update_stdout(1)

@@ -86,6 +86,12 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    import jax
+
+    from warpedganspace_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
+
     # Validate the shard arguments even when sharding is off: a --shard-index
     # with a defaulted/invalid --num-shards must fail loudly, not silently run
     # the full pool in every process (duplicated, file-racing work).
@@ -95,6 +101,21 @@ def main(argv=None):
         raise ValueError(
             f"--shard-index {args.shard_index} out of range for "
             f"{args.num_shards} shards")
+
+    # Under jax.distributed the latent-code pool is partitioned over the
+    # processes automatically (each process renders a disjoint hash subset on
+    # its LOCAL devices — traversal is embarrassingly parallel over codes, so
+    # no cross-process collectives are needed and a 2-host run produces the
+    # same tree as one host in half the wall time). Manual --num-shards is for
+    # UNCONNECTED hosts and would double-partition here.
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        if args.num_shards != 1:
+            raise ValueError(
+                "--num-shards is for unconnected hosts; under jax.distributed "
+                "the pool is partitioned over processes automatically")
+        args.num_shards = jax.process_count()
+        args.shard_index = jax.process_index()
 
     if not osp.isdir(args.exp):
         raise NotADirectoryError("Invalid given directory: {}".format(args.exp))
@@ -184,66 +205,76 @@ def main(argv=None):
     if args.num_shards > 1:
         from warpedganspace_tpu.parallel import partition_work
 
-        if args.gif:
+        if args.gif and not multiproc:
             raise ValueError(
                 "--gif needs every code's traversal on disk; run the GIF "
                 "collation as a separate unsharded pass after all shards finish")
         latent_codes_dirs = partition_work(
             latent_codes_dirs, args.num_shards, args.shard_index)
-        if not latent_codes_dirs:
+        if not latent_codes_dirs and not multiproc:
             print("#. Shard {}/{} has no latent codes; nothing to do.".format(
                 args.shard_index, args.num_shards))
             return
-    zs = np.concatenate(
-        [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]
-    ).astype(np.float32)
-    num_of_latent_codes = zs.shape[0]
+    if latent_codes_dirs:
+        zs = np.concatenate(
+            [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]
+        ).astype(np.float32)
+        num_of_latent_codes = zs.shape[0]
 
-    if args.verbose:
-        print("#. Traverse latent space...")
-        print("  \\__Experiment       : {}".format(osp.basename(osp.abspath(args.exp))))
-        print("  \\__Shift magnitude  : {}".format(args.eps))
-        print("  \\__Shift steps      : {}".format(2 * args.shift_steps))
-        print("  \\__Traversal length : {}".format(round(2 * args.shift_steps * args.eps, 3)))
-        print("  \\__Save results at  : {}".format(out_dir))
+        if args.verbose:
+            print("#. Traverse latent space...")
+            print("  \\__Experiment       : {}".format(osp.basename(osp.abspath(args.exp))))
+            print("  \\__Shift magnitude  : {}".format(args.eps))
+            print("  \\__Shift steps      : {}".format(2 * args.shift_steps))
+            print("  \\__Traversal length : {}".format(round(2 * args.shift_steps * args.eps, 3)))
+            print("  \\__Save results at  : {}".format(out_dir))
 
-    # One compiled program integrates ALL (codes x paths x steps).
-    import jax
+        # One compiled program integrates ALL (codes x paths x steps).
+        mesh = None
+        if getattr(args, "multi_device", False):
+            from warpedganspace_tpu.parallel import make_mesh
 
-    mesh = None
-    if getattr(args, "multi_device", False):
-        from warpedganspace_tpu.parallel import make_mesh
+            # Each process renders its own code subset: the render mesh stays
+            # LOCAL (global-mesh SPMD would deadlock on divergent work lists).
+            devs = jax.local_devices() if multiproc else jax.devices()
+            if len(devs) > 1:
+                mesh = make_mesh(devs)
+        g_params = G.params
+        if args.dtype == "bfloat16":
+            from warpedganspace_tpu.models.api import cast_params_bf16
 
-        if len(jax.devices()) > 1:
-            mesh = make_mesh()
-    g_params = G.params
-    if args.dtype == "bfloat16":
-        from warpedganspace_tpu.models.api import cast_params_bf16
+            g_params = cast_params_bf16(G.params)
+        latents = jnp.asarray(zs)
+        if shift_in_w_space:
+            # The warp integration stays float32 regardless of the render dtype.
+            latents = G.get_w(G.params, latents)
+        use_pallas = None if args.warp_backend == "auto" else (args.warp_backend == "pallas")
+        codes, shifts = traverse_paths(
+            S, s_params, latents, eps=args.eps, shift_steps=args.shift_steps,
+            shift_leap=args.shift_leap, mesh=mesh, use_pallas=use_pallas)
+        codes_np = np.asarray(codes)
 
-        g_params = cast_params_bf16(G.params)
-    latents = jnp.asarray(zs)
-    if shift_in_w_space:
-        # The warp integration stays float32 regardless of the render dtype.
-        latents = G.get_w(G.params, latents)
-    use_pallas = None if args.warp_backend == "auto" else (args.warp_backend == "pallas")
-    codes, shifts = traverse_paths(
-        S, s_params, latents, eps=args.eps, shift_steps=args.shift_steps,
-        shift_leap=args.shift_leap, mesh=mesh, use_pallas=use_pallas)
-    codes_np = np.asarray(codes)
+        g_params_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    g_params_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        from warpedganspace_tpu.traverse.writer import AsyncImageWriter
 
-    from warpedganspace_tpu.traverse.writer import AsyncImageWriter
-
-    writer = AsyncImageWriter()
-    try:
-        _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
-                      latent_codes_dirs, num_of_latent_codes, num_gen_paths, out_dir,
-                      shift_in_w_space, writer)
-    finally:
-        writer.close()
+        writer = AsyncImageWriter()
+        try:
+            _traverse_all(args, G, g_params, g_params_dtype, S, codes, shifts, codes_np,
+                          latent_codes_dirs, num_of_latent_codes, num_gen_paths, out_dir,
+                          shift_in_w_space, writer)
+        finally:
+            writer.close()
 
     if args.gif:
+        if multiproc:
+            from warpedganspace_tpu.parallel import is_coordinator, sync_processes
+
+            # Collation reads every code's frames: wait for all processes'
+            # writers, then let exactly one process build the GIFs.
+            sync_processes("traversal-frames-done")
+            if not is_coordinator():
+                return
         collate_traversal_gifs(
             out_dir, num_gen_paths, gif_size=args.gif_size, gif_fps=args.gif_fps,
             verbose=args.verbose)

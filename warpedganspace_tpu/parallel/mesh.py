@@ -29,9 +29,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     """Multi-host bring-up: call once per host before :func:`make_mesh` to span
     slices over DCN (replaces any NCCL/MPI-style init; the reference is
     single-process and has none — SURVEY §2.5). No-op when args are absent and
-    no cluster environment is detected."""
+    no cluster environment is detected. Idempotent: every CLI entry point calls
+    this, so a process that chains CLIs (train then traverse) initializes the
+    backend exactly once."""
     import os
 
+    if jax.distributed.is_initialized():
+        return
     if coordinator_address is not None or "COORDINATOR_ADDRESS" in os.environ:
         # jax.distributed only reads ITS OWN env vars (JAX_COORDINATOR_ADDRESS
         # etc.) — our COORDINATOR_ADDRESS convenience vars must be passed
@@ -47,6 +51,42 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
             num_processes=num_processes,
             process_id=process_id,
         )
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns all filesystem/TensorBoard/stdout side
+    effects of a multi-process run (process 0). The reference is single-process
+    so every write is implicitly coordinator-gated there; under jax.distributed
+    the Trainer and CLIs gate writes through this so a 2-host run produces ONE
+    consistent experiment tree instead of two racing writers."""
+    return jax.process_index() == 0
+
+
+def sync_processes(name: str) -> None:
+    """Cross-process barrier (no-op single-process). Used at ordering points
+    where a non-coordinator process is about to READ files the coordinator
+    writes — e.g. the wip->complete experiment copy before traversal starts."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def replicate_to_global(tree, mesh: Mesh):
+    """Host-local pytree -> fully-replicated global jax.Arrays over ``mesh``.
+
+    Multi-process jit over a global mesh cannot consume process-local
+    (eagerly created or host-loaded) arrays; every process holds an identical
+    copy of the frozen params / train state by construction (same files, same
+    seeds), so replication is the correct global view. Single-process meshes
+    pass through jax.device_put just the same."""
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, rep, lambda idx: arr[idx])
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def partition_work(items, num_shards: int = 1, shard_index: int = 0):

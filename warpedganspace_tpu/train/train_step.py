@@ -110,15 +110,16 @@ def init_train_state(key, G: GeneratorBundle, S: SupportSets, R: Reconstructor, 
     }
 
 
-def make_train_step(
+def _make_raw_step(
     G: GeneratorBundle,
     S: SupportSets,
     R: Reconstructor,
     cfg: TrainStepConfig,
     mesh=None,
-    donate: bool = True,
 ):
-    """Build the jitted train step: (state, g_params, seed_key, iteration) -> (state, metrics)."""
+    """The un-jitted step body shared by :func:`make_train_step` (one
+    iteration per dispatch) and :func:`make_train_step_scan` (k iterations
+    per dispatch via lax.scan)."""
     opt_s, opt_r = make_optimizers(S, cfg)
 
     g_bf16 = cfg.generator_dtype == "bfloat16"
@@ -204,5 +205,59 @@ def make_train_step(
         }
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(
+    G: GeneratorBundle,
+    S: SupportSets,
+    R: Reconstructor,
+    cfg: TrainStepConfig,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step: (state, g_params, seed_key, iteration) -> (state, metrics)."""
+    step = _make_raw_step(G, S, R, cfg, mesh=mesh)
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_train_step_scan(
+    G: GeneratorBundle,
+    S: SupportSets,
+    R: Reconstructor,
+    cfg: TrainStepConfig,
+    mesh=None,
+    k: int = 8,
+    donate: bool = True,
+):
+    """k consecutive iterations as ONE XLA program (lax.scan over the step).
+
+    Exact: the sample stream is a pure function of (seed_key, iteration) —
+    scanning iteration over [i, i+k) reproduces k individual step() calls, so
+    resume/checkpoint semantics are unchanged at chunk boundaries. Metrics
+    come back stacked (k,) per key, one entry per iteration.
+
+    This amortizes the per-dispatch host/runtime cost over k iterations —
+    built for the small fast configs (SNGAN 32²/64² at >100 steps/s) where a
+    single step is too short to hide dispatch; the 1024² configs run 100+ ms
+    per step and gain nothing (see PERFORMANCE.md "SNGAN train-step part
+    attribution").
+    """
+    raw = _make_raw_step(G, S, R, cfg, mesh=mesh)
+    g_bf16 = cfg.generator_dtype == "bfloat16"
+
+    def stepk(state, g_params, seed_key, iteration):
+        if g_bf16:
+            # One cast for the whole chunk (identity if already bf16).
+            g_params_c = cast_params_bf16(g_params)
+        else:
+            g_params_c = g_params
+
+        def body(st, it):
+            return raw(st, g_params_c, seed_key, it)
+
+        return jax.lax.scan(body, state, iteration + jnp.arange(k))
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(stepk, donate_argnums=donate_argnums)

@@ -20,6 +20,18 @@ TPU-specific behavior: metric device->host transfers are deferred to the log
 boundary so the accelerator stream never stalls mid-window; iteration wall
 times are therefore measured per log window (the printed mean iter time is the
 window mean, which is also what the reference effectively reports).
+
+Multi-process (jax.distributed over DCN, SURVEY §2.5): every process runs the
+SPMD train step over the global mesh, but ONLY process 0 owns side effects —
+stats.json, checkpoint.pt + sidecar, TensorBoard, final .pt exports, the
+wip->complete copy and stdout (the reference is single-process, so this gating
+is the multi-host generalization of its implicit single-writer behavior,
+lib/trainer.py:162-166). The 'orbax' checkpoint backend stays collective (all
+processes participate — it is sharded-array aware). Host-local inputs (frozen
+G params, the train state, the seed key) are replicated into global arrays
+before the first step; resume reads happen on every process (shared-filesystem
+assumption, standard for pod training), writes only on process 0, with a
+cross-process barrier before the completed tree is consumed downstream.
 """
 from __future__ import annotations
 
@@ -41,6 +53,11 @@ from warpedganspace_tpu.convert import (
     resnet_reconstructor_to_state_dict,
 )
 from warpedganspace_tpu.core.stats import TrainingStatTracker
+from warpedganspace_tpu.parallel.mesh import (
+    is_coordinator,
+    replicate_to_global,
+    sync_processes,
+)
 from warpedganspace_tpu.train.train_step import (
     TrainStepConfig,
     init_train_state,
@@ -71,13 +88,15 @@ class Trainer:
         self.params = params
         self.mesh = mesh
         self.seed = seed
+        # Single side-effect owner of a multi-process run (see module docstring).
+        self.is_coord = is_coordinator()
 
         self.wip_dir = osp.join(root, "wip", exp_dir)
         self.complete_dir = osp.join(root, "complete", exp_dir)
 
         self.stats_json = osp.join(self.wip_dir, "stats.json")
         os.makedirs(self.wip_dir, exist_ok=True)
-        if not osp.isfile(self.stats_json):
+        if self.is_coord and not osp.isfile(self.stats_json):
             with open(self.stats_json, "w") as f:
                 json.dump({}, f)
 
@@ -93,6 +112,8 @@ class Trainer:
 
         self.tensorboard = bool(getattr(self.params, "tensorboard", False))
         self.tb_writer = None
+        if self.tensorboard and not self.is_coord:
+            self.tensorboard = False  # scalar logging is coordinator-owned
         if self.tensorboard:
             self.tb_dir = osp.join(self.wip_dir, "tensorboard")
             os.makedirs(self.tb_dir, exist_ok=True)
@@ -148,6 +169,11 @@ class Trainer:
             # (same durability contract as the reference's synchronous
             # torch.save).
             mgr.wait_until_finished()
+            return
+        if not self.is_coord:
+            # The 'pt' backend is a host-side pickle of the (fully replicated)
+            # trainables — one writer suffices and two would race on the same
+            # shared-filesystem path.
             return
         save_pt(
             {
@@ -232,6 +258,9 @@ class Trainer:
 
     # ------------------------------------------------------------------- stats
     def log_progress(self, iteration, mean_iter_time, elapsed_time, eta):
+        if not self.is_coord:
+            self.stat_tracker.flush()
+            return
         stats = self.stat_tracker.get_means()
         with open(self.stats_json) as f:
             stats_dict = json.load(f)
@@ -295,34 +324,55 @@ class Trainer:
             pair_layout=pair_layout,
         )
 
+        multiproc = self.mesh is not None and jax.process_count() > 1
+
         seed_key = jax.random.key(self.seed)
         state = init_train_state(seed_key, generator, support_sets, reconstructor, cfg)
 
         # Save initial support sets (reference trainer.py:139).
-        save_pt(
-            support_sets.to_torch_state_dict(state["s_params"]),
-            osp.join(self.models_dir, "support_sets_init.pt"),
-        )
+        if self.is_coord:
+            save_pt(
+                support_sets.to_torch_state_dict(state["s_params"]),
+                osp.join(self.models_dir, "support_sets_init.pt"),
+            )
 
         starting_iter, state = self.get_starting_iteration(support_sets, state)
 
         if starting_iter == p.max_iter:
-            print("#. This experiment has already been completed and can be found @ {}".format(self.wip_dir))
-            print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
-            try:
-                shutil.copytree(
-                    src=self.wip_dir,
-                    dst=self.complete_dir,
-                    ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
-                )
-                print("  \\__Done!")
-            except (IOError, FileExistsError) as e:
-                print("  \\__Already exists -- {}".format(e))
+            if self.is_coord:
+                print("#. This experiment has already been completed and can be found @ {}".format(self.wip_dir))
+                print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
+                try:
+                    shutil.copytree(
+                        src=self.wip_dir,
+                        dst=self.complete_dir,
+                        ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
+                    )
+                    print("  \\__Done!")
+                except (IOError, FileExistsError) as e:
+                    print("  \\__Already exists -- {}".format(e))
+            sync_processes("trainer-already-complete")
             sys.exit()
-        print("#. Start training from iteration {}".format(starting_iter))
+        if self.is_coord:
+            print("#. Start training from iteration {}".format(starting_iter))
+
+        if multiproc:
+            # Every process built/loaded an identical host-local copy of the
+            # state (same seed / same checkpoint bytes); the global-mesh step
+            # needs them as fully-replicated GLOBAL arrays (a process-local
+            # committed array cannot feed an SPMD program spanning processes).
+            state = replicate_to_global(state, self.mesh)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            seed_key = jax.jit(
+                jax.random.key,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )(self.seed)
 
         step = make_train_step(generator, support_sets, reconstructor, cfg, mesh=self.mesh)
         g_params = generator.params
+        if multiproc:
+            g_params = replicate_to_global(g_params, self.mesh)
         if cfg.generator_dtype == "bfloat16":
             # Cast the frozen params ONCE here; the in-step cast then traces to
             # identity ops (XLA elides same-dtype astype).
@@ -372,27 +422,31 @@ class Trainer:
 
         elapsed = time.time() - t0
 
-        # Final model exports (reference trainer.py:302-308).
-        save_pt(
-            support_sets.to_torch_state_dict(state["s_params"]),
-            osp.join(self.models_dir, "support_sets.pt"),
-        )
-        save_pt(
-            _reconstructor_sd(p.reconstructor_type, state["r_params"]),
-            osp.join(self.models_dir, "reconstructor.pt"),
-        )
-
-        for _ in range(10):
-            print()
-        print("#.Training completed -- Total elapsed time: {}.".format(sec2dhms(elapsed)))
-        print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
-        try:
-            shutil.copytree(
-                src=self.wip_dir,
-                dst=self.complete_dir,
-                ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
+        if self.is_coord:
+            # Final model exports (reference trainer.py:302-308).
+            save_pt(
+                support_sets.to_torch_state_dict(state["s_params"]),
+                osp.join(self.models_dir, "support_sets.pt"),
             )
-            print("  \\__Done!")
-        except (IOError, FileExistsError) as e:
-            print("  \\__Already exists -- {}".format(e))
+            save_pt(
+                _reconstructor_sd(p.reconstructor_type, state["r_params"]),
+                osp.join(self.models_dir, "reconstructor.pt"),
+            )
+
+            for _ in range(10):
+                print()
+            print("#.Training completed -- Total elapsed time: {}.".format(sec2dhms(elapsed)))
+            print("#. Copy {} to {}...".format(self.wip_dir, self.complete_dir))
+            try:
+                shutil.copytree(
+                    src=self.wip_dir,
+                    dst=self.complete_dir,
+                    ignore=shutil.ignore_patterns("checkpoint.pt", "orbax"),
+                )
+                print("  \\__Done!")
+            except (IOError, FileExistsError) as e:
+                print("  \\__Already exists -- {}".format(e))
+        # Downstream stages (traverse/eval) read the complete tree: hold every
+        # process here until the coordinator finished writing it.
+        sync_processes("trainer-complete")
         return state
