@@ -138,3 +138,32 @@ if "biggan" in which:
                           min_shift_magnitude=0.1, max_shift_magnitude=0.2,
                           generator_dtype="bfloat16", reconstructor_dtype="bfloat16")
     attribute("BigGAN-239 bs32", gen, G, S, R, cfg, {})
+
+if "sngan" in which:
+    # VERDICT r3 item 5: is the tiny 32²/64² step dispatch/latency-bound?
+    # Attribute the parts, then A/B the k-step lax.scan chunking (exact
+    # sample stream; make_train_step_scan) against the single-step program.
+    from warpedganspace_tpu.models.sngan import SNGANGenerator
+    from warpedganspace_tpu.train import make_train_step_scan
+
+    for gan_type, channels, bs, rec, eps in (
+            ("SNGAN_MNIST", 1, 128, "LeNet", (0.15, 0.25)),
+            ("SNGAN_AnimeFaces", 3, 128, "LeNet", (0.25, 0.35))):
+        gen = SNGANGenerator.from_gan_type(gan_type)
+        G = GeneratorBundle(name=gan_type, dim_z=gen.dim_z,
+                            resolution=gen.img_size, out_channels=channels,
+                            params=jax.jit(gen.init)(key), apply_fn=gen.apply)
+        S = SupportSets(num_support_sets=64, num_support_dipoles=128,
+                        support_vectors_dim=gen.dim_z, learn_gammas=True)
+        R = Reconstructor(rec, dim=64, channels=channels)
+        cfg = TrainStepConfig(batch_size=bs, num_support_sets=64,
+                              min_shift_magnitude=eps[0], max_shift_magnitude=eps[1],
+                              generator_dtype="bfloat16")
+        attribute(f"{gan_type} bs{bs}", gen, G, S, R, cfg, {})
+        state = jax.jit(lambda k: init_train_state(k, G, S, R, cfg))(key)
+        for k_chunk in (4, 8, 16):
+            stepk = make_train_step_scan(G, S, R, cfg, k=k_chunk, donate=False)
+            log(f"compiling {gan_type} scan k={k_chunk}...")
+            t = timed(stepk, (state, G.params, key, 1), reps=5)
+            log(f"{gan_type} scan k={k_chunk}: {t*1e3:.1f} ms/chunk -> "
+                f"{k_chunk/t:.2f} steps/s")

@@ -387,3 +387,42 @@ def test_train_step_scan_matches_single_steps():
                             jax.tree_util.tree_leaves(state2["r_params"])):
         np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf1),
                                    rtol=0, atol=2e-3)
+
+
+def test_trainer_steps_per_call_matches_single(tmp_path):
+    """Trainer with steps_per_call=2 (chunked lax.scan dispatch) reproduces
+    the single-dispatch run's stats.json and final exports; a RESUMED chunked
+    run (re-running the checkpoint iteration as a lone mis-phased step before
+    re-chunking) also completes with the same schema."""
+    G, S, R, _ = _tiny_setup(batch_size=4)
+
+    p1 = _trainer_params(tmp_path, max_iter=4)
+    root1 = str(tmp_path / "exp_single")
+    Trainer(params=p1, exp_dir="e", root=root1).train(G, S, R)
+
+    p2 = _trainer_params(tmp_path, max_iter=4)
+    p2.steps_per_call = 2
+    root2 = str(tmp_path / "exp_chunked")
+    Trainer(params=p2, exp_dir="e", root=root2).train(G, S, R)
+
+    s1 = json.load(open(osp.join(root1, "wip", "e", "stats.json")))
+    s2 = json.load(open(osp.join(root2, "wip", "e", "stats.json")))
+    assert set(s1) == set(s2) == {"2", "4"}
+    for it in s1:
+        for k in s1[it]:
+            np.testing.assert_allclose(s2[it][k], s1[it][k], rtol=1e-4,
+                                       atol=1e-5, err_msg=f"{it}[{k}]")
+
+    # Resume the chunked run to a longer horizon: starts with the lone re-run
+    # of iteration 4, then chunks [5,6], [7,8].
+    p3 = _trainer_params(tmp_path, max_iter=8)
+    p3.steps_per_call = 2
+    Trainer(params=p3, exp_dir="e", root=root2).train(G, S, R)
+    s3 = json.load(open(osp.join(root2, "wip", "e", "stats.json")))
+    assert set(s3) == {"2", "4", "6", "8"}
+
+    # Invalid divisibility fails loudly.
+    p4 = _trainer_params(tmp_path, max_iter=4)
+    p4.steps_per_call = 3  # does not divide log_freq=2 / ckp_freq=2
+    with pytest.raises(ValueError, match="steps-per-call"):
+        Trainer(params=p4, exp_dir="e2", root=str(tmp_path / "bad")).train(G, S, R)

@@ -62,6 +62,7 @@ from warpedganspace_tpu.train.train_step import (
     TrainStepConfig,
     init_train_state,
     make_train_step,
+    make_train_step_scan,
 )
 from warpedganspace_tpu.utils.aux import sec2dhms, update_progress, update_stdout
 from warpedganspace_tpu.utils.io import load_pt, save_pt
@@ -369,7 +370,28 @@ class Trainer:
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()),
             )(self.seed)
 
+        # k-step dispatch chunking (--steps-per-call): the tiny fast configs
+        # (SNGAN 32²/64² at >100 steps/s) are dispatch-bound — k iterations
+        # per XLA program lift MNIST 114.5 -> 168.5 steps/s at k=16 on v5e
+        # (scripts/measure_train_parts.py sngan). Same sample stream;
+        # checkpoints land on chunk boundaries (ckp_freq % k == 0 enforced at
+        # the CLI); mis-phased head/tail iterations (resume re-run, final
+        # partial chunk) fall back to the single-step program.
+        k_chunk = int(getattr(p, "steps_per_call", 1) or 1)
         step = make_train_step(generator, support_sets, reconstructor, cfg, mesh=self.mesh)
+        step_chunk = None
+        if k_chunk > 1:
+            if p.ckp_freq % k_chunk:
+                raise ValueError(
+                    f"--steps-per-call {k_chunk} must divide --ckp-freq "
+                    f"{p.ckp_freq} (checkpoints only exist at chunk boundaries)")
+            if p.log_freq % k_chunk:
+                raise ValueError(
+                    f"--steps-per-call {k_chunk} must divide --log-freq "
+                    f"{p.log_freq} (per-window iteration timing)")
+            step_chunk = make_train_step_scan(
+                generator, support_sets, reconstructor, cfg, mesh=self.mesh,
+                k=k_chunk)
         g_params = generator.params
         if multiproc:
             g_params = replicate_to_global(g_params, self.mesh)
@@ -388,34 +410,52 @@ class Trainer:
         window_iters = 0
         pending = []  # (iteration, metrics) — fetched at the log boundary
 
-        for iteration in range(starting_iter, p.max_iter + 1):
-            state, metrics = step(state, g_params, seed_key, iteration)
-            pending.append(metrics)
-            window_iters += 1
+        iteration = starting_iter
+        while iteration <= p.max_iter:
+            # Chunked dispatch only on (iteration-1) % k boundaries with a
+            # full chunk ahead; otherwise one plain step (keeps checkpoint
+            # phase identical to the reference loop on fresh AND resumed runs).
+            if (step_chunk is not None and (iteration - 1) % k_chunk == 0
+                    and iteration + k_chunk - 1 <= p.max_iter):
+                state, mk = step_chunk(state, g_params, seed_key, iteration)
+                chunk_metrics = [
+                    {n: mk[n][j] for n in mk} for j in range(k_chunk)]
+            else:
+                state, metrics = step(state, g_params, seed_key, iteration)
+                chunk_metrics = [metrics]
 
-            if iteration % p.log_freq == 0:
-                # Force completion of the window, then account wall time.
-                jax.block_until_ready(metrics)
-                for j, m in enumerate(pending):
-                    host = {k: float(v) for k, v in m.items()}
-                    self.stat_tracker.update(**host)
-                    if self.tb_writer is not None:
-                        # Each buffered iteration at its own global step
-                        # (reference trainer.py:264-266).
-                        step_no = iteration - len(pending) + 1 + j
-                        for k, v in host.items():
-                            self.tb_writer.add_scalar(k, v, step_no)
-                pending = []
-                now = time.time()
-                mean_iter_time = (now - window_t0) / max(window_iters, 1)
-                window_t0, window_iters = now, 0
-                elapsed = now - t0
-                eta = elapsed * ((p.max_iter - iteration) / max(iteration - starting_iter + 1, 1))
-                self.log_progress(iteration, mean_iter_time, elapsed, eta)
+            for metrics in chunk_metrics:
+                pending.append(metrics)
+                window_iters += 1
 
-            if iteration % p.ckp_freq == 0:
-                jax.block_until_ready(state["s_params"])
-                self.save_checkpoint(iteration, support_sets, state)
+                if iteration % p.log_freq == 0:
+                    # Force completion of the window, then account wall time.
+                    jax.block_until_ready(metrics)
+                    for j, m in enumerate(pending):
+                        host = {k: float(v) for k, v in m.items()}
+                        self.stat_tracker.update(**host)
+                        if self.tb_writer is not None:
+                            # Each buffered iteration at its own global step
+                            # (reference trainer.py:264-266).
+                            step_no = iteration - len(pending) + 1 + j
+                            for k, v in host.items():
+                                self.tb_writer.add_scalar(k, v, step_no)
+                    pending = []
+                    now = time.time()
+                    mean_iter_time = (now - window_t0) / max(window_iters, 1)
+                    window_t0, window_iters = now, 0
+                    elapsed = now - t0
+                    eta = elapsed * ((p.max_iter - iteration) / max(iteration - starting_iter + 1, 1))
+                    self.log_progress(iteration, mean_iter_time, elapsed, eta)
+
+                if iteration % p.ckp_freq == 0:
+                    # Checkpoint iterations land on chunk boundaries
+                    # (ckp_freq % steps_per_call == 0), where `state` is the
+                    # post-iteration state exactly as in the unchunked loop.
+                    jax.block_until_ready(state["s_params"])
+                    self.save_checkpoint(iteration, support_sets, state)
+
+                iteration += 1
 
         if profile:
             jax.profiler.stop_trace()
