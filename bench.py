@@ -253,19 +253,36 @@ def _measure_tpu():
     ws = prepare_warp_sets(
         s_params["support_sets"], s_params["alphas"], S.gammas(s_params),
         dtype=jnp.bfloat16)
-    pallas_fn = jax.jit(lambda ws, z: warp_grad_all_sets_kn(ws, z))
+    # The kernel is ~0.35 ms/call — a bare Python dispatch loop measures the
+    # HOST's ~2900 dispatches/s, not the device (round-3's 13.5M evals/s with
+    # 25%+ spread was exactly that). Production (traverse/engine.py) runs the
+    # kernel inside lax.scan with the shifted code as carry — measure that:
+    # one XLA program chains CHAIN_STEPS kernel steps, so the host loop
+    # disappears from the denominator (same fix as the round-4 SNGAN
+    # dispatch-window analysis).
+    CHAIN_STEPS = 32
+
+    @jax.jit
+    def pallas_chain(ws, z):
+        def body(z, _):
+            return z + 0.005 * warp_grad_all_sets_kn(ws, z), ()
+        z, _ = jax.lax.scan(body, z, None, length=CHAIN_STEPS)
+        return z
+
     try:
-        sync(pallas_fn(ws, zb_kn))
+        sync(pallas_chain(ws, zb_kn))
+        chain_reps = 40
 
         def _pallas_once():
             t0 = time.perf_counter()
-            for _ in range(reps):
-                o = pallas_fn(ws, zb_kn)
+            for _ in range(chain_reps):
+                o = pallas_chain(ws, zb_kn)
             sync(o)
-            return n_codes * 200 * reps / (time.perf_counter() - t0)
+            return (n_codes * 200 * CHAIN_STEPS * chain_reps
+                    / (time.perf_counter() - t0))
 
-        pallas_evals_per_sec, pallas_spread, n = _measure_rounds(_pallas_once)
-        log(f"warp pallas all-sets (bf16 sets): {pallas_evals_per_sec:.0f} evals/s "
+        pallas_evals_per_sec, pallas_spread, n = _measure_rounds(_pallas_once, rounds=5)
+        log(f"warp pallas scan-chain (bf16 sets): {pallas_evals_per_sec:.0f} evals/s "
             f"({pallas_evals_per_sec / warp_evals_per_sec:.2f}x jnp, "
             f"best of {n}, spread {pallas_spread:.1%})")
     except Exception as e:
@@ -296,17 +313,43 @@ def _measure_tpu():
     sync(m["total_loss"])
 
     def _sngan_train_once():
+        # 60 reps per window: at ~7 ms/step a 20-rep window is ~140 ms and
+        # host-timer/dispatch noise produced the round-3 6.6% spread; the
+        # longer window brings the spread in line with the other lines.
         nonlocal state
-        reps = 20
+        reps = 60
         t0 = time.perf_counter()
         for it in range(2, 2 + reps):
             state, m = step(state, G.params, key, it)
         sync(m["total_loss"])
         return reps / (time.perf_counter() - t0)
 
-    train_steps_per_sec, sngan_spread, n = _measure_rounds(_sngan_train_once)
+    train_steps_per_sec, sngan_spread, n = _measure_rounds(_sngan_train_once, rounds=5)
     log(f"SNGAN-MNIST train: {train_steps_per_sec:.1f} steps/s "
         f"(best of {n}, spread {sngan_spread:.1%})")
+
+    # The --steps-per-call 16 launcher path (k iterations per XLA program
+    # via lax.scan; same sample stream). Round-4 analysis: same best-case
+    # rate as single dispatch at a deep queue (~5.5 ms/iter device time);
+    # measured here to prove the production scan path holds that rate.
+    from warpedganspace_tpu.train import make_train_step_scan
+
+    step16 = make_train_step_scan(G, S2, R, cfg, k=16, donate=False)
+    state, mk = step16(state, G.params, key, 100)
+    sync(mk["total_loss"])
+
+    def _sngan_scan_once():
+        nonlocal state
+        reps = 4  # 4 x 16 = 64 iterations per window
+        t0 = time.perf_counter()
+        for r in range(reps):
+            state, mk = step16(state, G.params, key, 200 + 16 * r)
+        sync(mk["total_loss"])
+        return 16 * reps / (time.perf_counter() - t0)
+
+    scan_steps_per_sec, scan_spread, n = _measure_rounds(_sngan_scan_once, rounds=5)
+    log(f"SNGAN-MNIST train (--steps-per-call 16): {scan_steps_per_sec:.1f} steps/s "
+        f"(best of {n}, spread {scan_spread:.1%})")
 
     # --- flagship train step (StyleGAN2-1024 W-space, bs=12, the production
     # launcher flags: bf16 G/R + S2D pair handoff, no remat — fits ~14 GB) --
@@ -392,6 +435,7 @@ def _measure_tpu():
         "warp_grad_evals_per_sec_jnp": warp_evals_per_sec,
         "warp_grad_evals_per_sec_pallas": pallas_evals_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
+        "sngan_mnist_train_steps_per_sec_scan16": scan_steps_per_sec,
         "stylegan2_1024_train_steps_per_sec_bs12": flagship_steps_per_sec,
         "proggan_1024_render_images_per_sec": proggan_ips,
         "spreads": {
@@ -400,6 +444,7 @@ def _measure_tpu():
             "warp_jnp": warp_spread,
             "warp_pallas": pallas_spread,
             "sngan_train": sngan_spread,
+            "sngan_train_scan16": scan_spread,
             "flagship_train": flagship_spread,
             "proggan_render": proggan_spread,
         },
@@ -433,8 +478,11 @@ def _measure_cli_e2e(raw_render_rate):
     import jax.numpy as jnp
     import numpy as np
 
+    _t_cli = time.perf_counter()
+
     def log(msg):
-        print(f"[bench-cli] {msg}", file=sys.stderr, flush=True)
+        print(f"[bench-cli +{time.perf_counter() - _t_cli:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
 
     import contextlib
 
@@ -551,17 +599,44 @@ def _measure_attribute_stage():
 
     tmp = tempfile.mkdtemp(prefix="wgs_bench_attr_")
     try:
+        t_stage = time.perf_counter()
+
+        def alog(msg):
+            print(f"[bench-attr +{time.perf_counter() - t_stage:6.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+
         h_dir = build_tree(tmp, np.random.RandomState(3))
         predictors = random_predictors()
+        alog("tree + predictors built")
         evaluate_hash_dir(h_dir, predictors, gan_type="StyleGAN2")  # warm
-        best = 0.0
-        for _ in range(2):
+        alog("warm eval done")
+        vals = []
+        # Budgeted reps: each rep is ~K*T/rate seconds (minutes on a 1-core
+        # host) — stop once past 180 s so a contended host cannot push the
+        # whole bench past the driver's window.
+        t_budget = time.perf_counter()
+        for _ in range(3):
             t0 = time.perf_counter()
             evaluate_hash_dir(h_dir, predictors, gan_type="StyleGAN2")
-            best = max(best, K * T / (time.perf_counter() - t0))
-        print(f"[bench-attr] attribute stage e2e (K={K}, T={T}): {best:.2f} img/s",
+            vals.append(K * T / (time.perf_counter() - t0))
+            alog(f"rep {len(vals)}: {vals[-1]:.2f} img/s")
+            if time.perf_counter() - t_budget > 180.0:
+                break
+        best = max(vals)
+        spread = (best - min(vals)) / best if best > 0 else 0.0
+        print(f"[bench-attr] attribute stage e2e (K={K}, T={T}): {best:.2f} img/s "
+              f"(best of {len(vals)}, spread {spread:.1%})",
               file=sys.stderr, flush=True)
-        return {"attribute_stage_images_per_sec": best}
+        return {
+            "attribute_stage_images_per_sec": best,
+            "attribute_stage_spread": spread,
+            # The absolute rate is host-JPEG-decode bound on this 1-core dev
+            # harness and swings with tunnel/host contention; the stable claim
+            # is the device-pipeline speedup measured by the same-session A/B
+            # in scripts/measure_attribute_stage.py (2.48x, PERFORMANCE.md).
+            "attribute_stage_note": "host-decode-bound; stable claim = 2.48x "
+                                    "pipeline A/B (scripts/measure_attribute_stage.py)",
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

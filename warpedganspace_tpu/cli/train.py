@@ -86,11 +86,13 @@ def build_parser():
     parser.add_argument("--seed", type=int, default=0, help="RNG seed (new; JAX threaded keys)")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="iterations per XLA dispatch (lax.scan chunking; "
-                             "must divide --log-freq and --ckp-freq). The tiny "
-                             "fast configs are dispatch-bound: SNGAN-MNIST "
-                             "bs128 runs 114.5 -> 168.5 steps/s at 16 on a "
-                             "v5e chip; the 1024^2 configs (>100 ms/step) "
-                             "gain nothing — leave at 1 there")
+                             "must divide --log-freq and --ckp-freq). For the "
+                             "tiny fast configs (SNGAN, ~6 ms/step) this pins "
+                             "the deep-dispatch-queue regime regardless of "
+                             "host-loop speed — same best-case steps/s, "
+                             "robust on slow/contended hosts (PERFORMANCE.md "
+                             "round-4 SNGAN analysis); the 1024^2 configs "
+                             "(>100 ms/step) gain nothing — leave at 1 there")
 
     # === Devices ===
     parser.add_argument("--cuda", dest="cuda", action="store_true",

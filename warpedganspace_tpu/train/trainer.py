@@ -370,13 +370,14 @@ class Trainer:
                 out_shardings=NamedSharding(self.mesh, PartitionSpec()),
             )(self.seed)
 
-        # k-step dispatch chunking (--steps-per-call): the tiny fast configs
-        # (SNGAN 32²/64² at >100 steps/s) are dispatch-bound — k iterations
-        # per XLA program lift MNIST 114.5 -> 168.5 steps/s at k=16 on v5e
-        # (scripts/measure_train_parts.py sngan). Same sample stream;
-        # checkpoints land on chunk boundaries (ckp_freq % k == 0 enforced at
-        # the CLI); mis-phased head/tail iterations (resume re-run, final
-        # partial chunk) fall back to the single-step program.
+        # k-step dispatch chunking (--steps-per-call): runs k iterations per
+        # XLA program (lax.scan) — same sample stream and best-case rate as
+        # single dispatch, but one Python dispatch + metric fetch per k
+        # iterations pins the deep-queue regime on slow/contended hosts
+        # (PERFORMANCE.md round-4 SNGAN dispatch-window analysis).
+        # Checkpoints land on chunk boundaries (ckp_freq % k == 0 enforced);
+        # mis-phased head/tail iterations (resume re-run, final partial
+        # chunk) fall back to the single-step program.
         k_chunk = int(getattr(p, "steps_per_call", 1) or 1)
         step = make_train_step(generator, support_sets, reconstructor, cfg, mesh=self.mesh)
         step_chunk = None
