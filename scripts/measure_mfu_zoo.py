@@ -109,11 +109,16 @@ if "sg2train" in which:
     row("StyleGAN2-1024 train bs12 prod", lambda st, gp, k, i: step(st, gp, k, i),
         (state, G.params, key, 1), 1, unit="step", reps=5)
 
-if "sg2train16" in which:
+sg2_bs_rows = sorted(int(w.split("sg2train", 1)[1]) for w in which
+                     if w.startswith("sg2train") and w != "sg2train")
+for bs in sg2_bs_rows:
     # The one single-chip train lever left after the round-3 head-fusion
-    # negative: larger batch. bs16 no-remat first (bs12 uses ~14 of 16 GB —
-    # may not fit); on RESOURCE_EXHAUSTED fall back to remat="tail" (the
-    # round-2 winner when memory binds). Compare samples/s, not steps/s.
+    # negative: larger batch at the reference's other hyperparameters.
+    # no-remat first (bs12 uses ~14 of 16 GB — larger may not fit); on
+    # RESOURCE_EXHAUSTED fall back to remat="tail" (the round-2 winner when
+    # memory binds). Compare samples/s, not steps/s. Round-4 result: bs16
+    # no-remat FITS and runs the SAME 221.5 ms as bs12 -> 72.2 samples/s
+    # (+32% free — the bs12 step is occupancy-limited, not HBM-limited).
     for remat in (False, "tail"):
         try:
             gen_t = StyleGAN2Generator(resolution=1024, shift_in_w_space=True,
@@ -126,7 +131,7 @@ if "sg2train16" in which:
             S = SupportSets(num_support_sets=200, num_support_dipoles=512,
                             support_vectors_dim=512, learn_gammas=True)
             R = Reconstructor("ResNet", dim=200, channels=3)
-            cfg = TrainStepConfig(batch_size=16, num_support_sets=200,
+            cfg = TrainStepConfig(batch_size=bs, num_support_sets=200,
                                   min_shift_magnitude=0.1, max_shift_magnitude=0.2,
                                   z_truncation=0.7, shift_in_w_space=True,
                                   generator_dtype="bfloat16",
@@ -134,15 +139,15 @@ if "sg2train16" in which:
                                   pair_layout="s2d")
             state = jax.jit(lambda k: init_train_state(k, G, S, R, cfg))(key)
             step = make_train_step(G, S, R, cfg, donate=False)
-            t = row(f"StyleGAN2-1024 train bs16 remat={remat}",
+            t = row(f"StyleGAN2-1024 train bs{bs} remat={remat}",
                     lambda st, gp, k, i: step(st, gp, k, i),
                     (state, G.params, key, 1), 1, unit="step", reps=5)
-            log(f"  -> {16 / t:.1f} samples/s (bs12 prod reference: "
+            log(f"  -> {bs / t:.1f} samples/s (bs12 prod reference: "
                 f"4.57 steps/s = 54.8 samples/s)")
             break
         except Exception as e:
             msg = str(e).splitlines()[0][:160]
-            log(f"StyleGAN2-1024 train bs16 remat={remat}: FAILED ({msg})")
+            log(f"StyleGAN2-1024 train bs{bs} remat={remat}: FAILED ({msg})")
 
 if "pgrender" in which:
     pgen = ProgGANGenerator(tail_layout="pallas")
