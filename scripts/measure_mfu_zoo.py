@@ -156,22 +156,31 @@ if "pgrender" in which:
     row("ProgGAN-1024 render pallas B=48 bf16",
         lambda p, z: pgen.apply(p, z), (pg16, pz), 48, pallas=True)
 
-if "pgtrain" in which:
-    pgen_t = ProgGANGenerator()
-    PG = GeneratorBundle(name="ProgGAN", dim_z=512, resolution=1024,
-                         out_channels=3, params=jax.jit(pgen_t.init)(key),
-                         apply_fn=pgen_t.apply, supports_s2d_out=True)
-    S = SupportSets(num_support_sets=200, num_support_dipoles=512,
-                    support_vectors_dim=512, learn_gammas=True)
-    R = Reconstructor("ResNet", dim=200, channels=3)
-    cfg = TrainStepConfig(batch_size=8, num_support_sets=200,
-                          min_shift_magnitude=0.1, max_shift_magnitude=0.2,
-                          generator_dtype="bfloat16", reconstructor_dtype="bfloat16",
-                          pair_layout="s2d")
-    state = jax.jit(lambda k: init_train_state(k, PG, S, R, cfg))(key)
-    step = make_train_step(PG, S, R, cfg, donate=False)
-    row("ProgGAN-1024 train bs8 prod", lambda st, gp, k, i: step(st, gp, k, i),
-        (state, PG.params, key, 1), 1, unit="step", reps=5)
+pg_bs_rows = ([8] if "pgtrain" in which else []) + sorted(
+    int(w.split("pgtrain", 1)[1]) for w in which
+    if w.startswith("pgtrain") and w != "pgtrain")
+for bs in pg_bs_rows:
+    try:
+        pgen_t = ProgGANGenerator()
+        PG = GeneratorBundle(name="ProgGAN", dim_z=512, resolution=1024,
+                             out_channels=3, params=jax.jit(pgen_t.init)(key),
+                             apply_fn=pgen_t.apply, supports_s2d_out=True)
+        S = SupportSets(num_support_sets=200, num_support_dipoles=512,
+                        support_vectors_dim=512, learn_gammas=True)
+        R = Reconstructor("ResNet", dim=200, channels=3)
+        cfg = TrainStepConfig(batch_size=bs, num_support_sets=200,
+                              min_shift_magnitude=0.1, max_shift_magnitude=0.2,
+                              generator_dtype="bfloat16", reconstructor_dtype="bfloat16",
+                              pair_layout="s2d")
+        state = jax.jit(lambda k: init_train_state(k, PG, S, R, cfg))(key)
+        step = make_train_step(PG, S, R, cfg, donate=False)
+        t = row(f"ProgGAN-1024 train bs{bs} prod", lambda st, gp, k, i: step(st, gp, k, i),
+                (state, PG.params, key, 1), 1, unit="step", reps=5)
+        if bs != 8:
+            log(f"  -> {bs / t:.1f} samples/s (bs8 prod reference: "
+                f"8.5 steps/s = 68 samples/s)")
+    except Exception as e:
+        log(f"ProgGAN-1024 train bs{bs}: FAILED ({str(e).splitlines()[0][:160]})")
 
 if "bgrender" in which:
     bgen = BigGANGenerator.from_config(target_classes=(239,))
@@ -180,26 +189,40 @@ if "bgrender" in which:
     row("BigGAN-128 render B=64 bf16", lambda p, z: bgen.apply(p, z),
         (bg16, bz), 64, reps=20, pallas=True)
 
-if "bgtrain" in which:
-    bgen_t = BigGANGenerator.from_config(target_classes=(239,))
-    BG = GeneratorBundle(name="BigGAN", dim_z=bgen_t.dim_z, resolution=128,
-                         out_channels=3, params=jax.jit(bgen_t.init)(key),
-                         apply_fn=bgen_t.apply)
-    S = SupportSets(num_support_sets=120, num_support_dipoles=256,
-                    support_vectors_dim=BG.dim_z, learn_gammas=True)
-    R = Reconstructor("ResNet", dim=120, channels=3)
-    cfg = TrainStepConfig(batch_size=32, num_support_sets=120,
-                          min_shift_magnitude=0.1, max_shift_magnitude=0.2,
-                          generator_dtype="bfloat16", reconstructor_dtype="bfloat16")
-    state = jax.jit(lambda k: init_train_state(k, BG, S, R, cfg))(key)
-    step = make_train_step(BG, S, R, cfg, donate=False)
-    row("BigGAN-128 train bs32 prod", lambda st, gp, k, i: step(st, gp, k, i),
-        (state, BG.params, key, 1), 1, unit="step", reps=10, pallas=True)
+bg_bs_rows = ([32] if "bgtrain" in which else []) + sorted(
+    int(w.split("bgtrain", 1)[1]) for w in which
+    if w.startswith("bgtrain") and w != "bgtrain")
+for bs in bg_bs_rows:
+    try:
+        bgen_t = BigGANGenerator.from_config(target_classes=(239,))
+        BG = GeneratorBundle(name="BigGAN", dim_z=bgen_t.dim_z, resolution=128,
+                             out_channels=3, params=jax.jit(bgen_t.init)(key),
+                             apply_fn=bgen_t.apply)
+        S = SupportSets(num_support_sets=120, num_support_dipoles=256,
+                        support_vectors_dim=BG.dim_z, learn_gammas=True)
+        R = Reconstructor("ResNet", dim=120, channels=3)
+        cfg = TrainStepConfig(batch_size=bs, num_support_sets=120,
+                              min_shift_magnitude=0.1, max_shift_magnitude=0.2,
+                              generator_dtype="bfloat16", reconstructor_dtype="bfloat16")
+        state = jax.jit(lambda k: init_train_state(k, BG, S, R, cfg))(key)
+        step = make_train_step(BG, S, R, cfg, donate=False)
+        t = row(f"BigGAN-128 train bs{bs} prod", lambda st, gp, k, i: step(st, gp, k, i),
+                (state, BG.params, key, 1), 1, unit="step", reps=10, pallas=True)
+        if bs != 32:
+            log(f"  -> {bs / t:.1f} samples/s (bs32 prod reference: "
+                f"33.8 steps/s = 1082 samples/s)")
+    except Exception as e:
+        log(f"BigGAN-128 train bs{bs}: FAILED ({str(e).splitlines()[0][:160]})")
 
-if "sngan" in which:
+sn_bs_rows = ([128] if "sngan" in which else []) + sorted(
+    int(w.split("sngan", 1)[1]) for w in which
+    if w.startswith("sngan") and w != "sngan")
+for bs in sn_bs_rows:
     for gan_type, channels, rec, eps in (
             ("SNGAN_MNIST", 1, "LeNet", (0.15, 0.25)),
             ("SNGAN_AnimeFaces", 3, "LeNet", (0.25, 0.35))):
+        if bs != 128 and gan_type != "SNGAN_MNIST":
+            continue  # non-reference batch sweep: MNIST row only
         sgen = SNGANGenerator.from_gan_type(gan_type)
         G = GeneratorBundle(name=gan_type, dim_z=sgen.dim_z,
                             resolution=sgen.img_size, out_channels=channels,
@@ -207,11 +230,14 @@ if "sngan" in which:
         S = SupportSets(num_support_sets=64, num_support_dipoles=128,
                         support_vectors_dim=sgen.dim_z, learn_gammas=True)
         R = Reconstructor(rec, dim=64, channels=channels)
-        cfg = TrainStepConfig(batch_size=128, num_support_sets=64,
+        cfg = TrainStepConfig(batch_size=bs, num_support_sets=64,
                               min_shift_magnitude=eps[0], max_shift_magnitude=eps[1],
                               generator_dtype="bfloat16")
         state = jax.jit(lambda k: init_train_state(k, G, S, R, cfg))(key)
         step16 = make_train_step_scan(G, S, R, cfg, k=16, donate=False)
-        row(f"{gan_type} train bs128 scan16",
-            lambda st, gp, k, i: step16(st, gp, k, i),
-            (state, G.params, key, 1), 16, unit="step", reps=3)
+        t = row(f"{gan_type} train bs{bs} scan16",
+                lambda st, gp, k, i: step16(st, gp, k, i),
+                (state, G.params, key, 1), 16, unit="step", reps=3)
+        if bs != 128:
+            log(f"  -> {16 * bs / t:.0f} samples/s (bs128 reference: "
+                f"160 steps/s = 20500 samples/s)")
