@@ -18,7 +18,6 @@ Run from the repo root (no TPU needed):
     python scripts/measure_dp_scaling.py [sg2|proggan|biggan|sngan ...]
 """
 import os.path as osp
-import re
 import sys
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
@@ -32,9 +31,6 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
-import numpy as np  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-
 from warpedganspace_tpu.models.api import GeneratorBundle  # noqa: E402
 from warpedganspace_tpu.models.biggan import BigGANGenerator  # noqa: E402
 from warpedganspace_tpu.models.proggan import ProgGANGenerator  # noqa: E402
@@ -42,55 +38,16 @@ from warpedganspace_tpu.models.reconstructor import Reconstructor  # noqa: E402
 from warpedganspace_tpu.models.sngan import SNGANGenerator  # noqa: E402
 from warpedganspace_tpu.models.stylegan2 import StyleGAN2Generator  # noqa: E402
 from warpedganspace_tpu.models.support_sets import SupportSets  # noqa: E402
-from warpedganspace_tpu.parallel import make_mesh  # noqa: E402
+from warpedganspace_tpu.parallel import (  # noqa: E402
+    audit_collectives, make_mesh, param_bytes)
 from warpedganspace_tpu.train import (  # noqa: E402
     TrainStepConfig, init_train_state, make_train_step)
-
-DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "f64": 8,
-               "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
 
 # One v5e chip drives its ICI ring at ~45 GB/s per direction per link
 # (2 links per torus axis). A bidirectional-ring all-reduce of V bytes over
 # N chips moves 2*V*(N-1)/N per chip; with both directions active the wall
 # time is ~ V / 90e9 * 2 * (N-1)/N  (scaling-book recipe, DP over one axis).
 ICI_GBPS_BIDIR = 90e9
-
-
-def shape_bytes(shape_str):
-    """'f32[200,1024,512]' -> bytes. Tuple shapes sum their elements."""
-    total = 0
-    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
-        dt, dims = m.group(1), m.group(2)
-        if dt not in DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * DTYPE_BYTES[dt]
-    return total
-
-
-def audit_collectives(compiled):
-    """Sum output bytes of every collective op in the optimized HLO."""
-    txt = compiled.as_text()
-    by_kind = {}
-    # HLO lines look like:  %x = f32[...] all-reduce(...), replica_groups=...
-    pat = re.compile(
-        r"=\s*((?:\([^)]*\)|\S+))\s+"
-        r"(all-reduce|reduce-scatter|all-gather|all-to-all|"
-        r"collective-permute)\b", re.I)
-    for line in txt.splitlines():
-        m = pat.search(line)
-        if not m or "-start" in line:
-            continue  # count each collective once (done ops carry the shape too)
-        by_kind.setdefault(m.group(2), []).append(shape_bytes(m.group(1)))
-    return {k: (len(v), sum(v)) for k, v in sorted(by_kind.items())}
-
-
-def param_bytes(tree):
-    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
-               for x in jax.tree_util.tree_leaves(tree))
 
 
 def build(name):
