@@ -51,6 +51,9 @@ ICI_GBPS_BIDIR = 90e9
 
 
 def build(name):
+    # step_ms constants mirror the measured single-chip rows of
+    # `scripts/measure_mfu_zoo.py` (PERFORMANCE.md "MFU / roofline of
+    # record") — update them together when the zoo table is re-measured.
     key = jax.random.key(0)
     if name == "sg2":
         gen = StyleGAN2Generator(resolution=1024, shift_in_w_space=True)

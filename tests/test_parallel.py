@@ -181,3 +181,30 @@ def test_dp_collectives_are_exactly_the_trainable_grads():
     # 16*2*32*32*4 B = 131 KB > the whole S+R gradient set here.
     assert ar_bytes <= grad_bytes + 1024, (ar_bytes, grad_bytes)
     assert ar_bytes > 0
+
+
+def test_audit_counts_async_collectives_once():
+    """TPU backends emit async pairs; the done line's OPERAND is named
+    %all-reduce-start, so a naive '-start in line' skip counts the collective
+    zero times. The audit must count each async pair exactly once (the done op
+    carries the final shape) and each sync op once."""
+    from warpedganspace_tpu.parallel import audit_collectives
+
+    class FakeCompiled:
+        def as_text(self):
+            return "\n".join([
+                "%all-reduce-start.5 = f32[100]{0} all-reduce-start(%p0), "
+                "channel_id=1, replica_groups=[1,8]<=[8]",
+                "%all-reduce-done.5 = f32[100]{0} all-reduce-done("
+                "%all-reduce-start.5)",
+                "%all-reduce.7 = (f32[10]{0}, f32[20]{0}) all-reduce(%a, %b), "
+                "channel_id=2",
+                "%gte = f32[10]{0} get-tuple-element(%all-reduce.7), index=0",
+                "%all-gather-start.1 = f32[64]{0} all-gather-start(%x)",
+                "%all-gather-done.1 = f32[64]{0} all-gather-done("
+                "%all-gather-start.1)",
+            ])
+
+    audit = audit_collectives(FakeCompiled())
+    assert audit["all-reduce"] == (2, 400 + 40 + 80), audit
+    assert audit["all-gather"] == (1, 256), audit

@@ -75,6 +75,20 @@ def test_full_pipeline(pipeline_env):
     codes = load_pt(osp.join(res, hashes[0], "paths_latent_codes.pt"))
     assert np.asarray(codes).shape == (3, 7, 128)
 
+    # An EMPTY pool (e.g. an interrupted sample_gan) must fail loudly in a
+    # single-process run — not exit 0 with no tree for the attribute stage to
+    # trip over. (An empty per-process PARTITION under multi-process stays
+    # legal and is covered by test_cli_multiprocess.)
+    import pytest
+
+    os.makedirs(osp.join("experiments", "latent_codes", "SNGAN_MNIST", "void"),
+                exist_ok=True)
+    with pytest.raises(ValueError, match="contains no latent codes"):
+        traverse_latent_space.main([
+            "--exp", complete, "--pool", "void", "--shift-steps", "3",
+            "--eps", "0.2",
+        ])
+
 
 def test_traverse_bf16_dtype(pipeline_env):
     """--dtype bfloat16 renders the same tree (fidelity gate lives in bench)."""

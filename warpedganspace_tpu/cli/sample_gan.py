@@ -60,6 +60,13 @@ def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
 
+    # Process-independent arg validation runs BEFORE the coordinator gate:
+    # if it ran after, a misconfigured multi-host launch would have process 0
+    # exit via parser.error while every other process blocks at the barrier
+    # below until the coordination-service timeout.
+    if args.gan_type == "BigGAN" and args.biggan_target_classes is None:
+        parser.error("In case of BigGAN, a list of classes needs to be determined.")
+
     # Pool creation is cheap and single-writer: under jax.distributed only
     # process 0 samples/writes; the rest wait at the barrier so downstream
     # stages see a complete pool.
@@ -71,8 +78,6 @@ def main(argv=None):
     out_dir = osp.join("experiments", "latent_codes", args.gan_type)
     biggan_classes = None
     if args.gan_type == "BigGAN":
-        if args.biggan_target_classes is None:
-            parser.error("In case of BigGAN, a list of classes needs to be determined.")
         biggan_classes = ""
         for c in args.biggan_target_classes:
             biggan_classes += "-{}".format(c)

@@ -153,6 +153,21 @@ def main(argv=None):
                       ("-D/--num-support-dipoles", args.num_support_dipoles)):
         if val is None:
             parser.error(f"{flag} is required")
+    # Same pre-dir rule for the cheap config checks the Trainer would reject
+    # minutes later (after the GAN build): fail before any tree is written.
+    k_chunk = int(args.steps_per_call or 1)
+    if k_chunk > 1:
+        if args.ckp_freq % k_chunk:
+            parser.error(f"--steps-per-call {k_chunk} must divide --ckp-freq "
+                         f"({args.ckp_freq})")
+        if args.log_freq % k_chunk:
+            parser.error(f"--steps-per-call {k_chunk} must divide --log-freq "
+                         f"({args.log_freq})")
+    if jax.process_count() > 1 and not args.multi_device:
+        parser.error(
+            "multi-process training requires --multi-device (the train step "
+            "must span the global mesh; two unconnected single-device loops "
+            "would race on the experiment tree)")
 
     # Create output dir and save current arguments (the args.json contract);
     # the contract files have exactly one writer under multi-process.
@@ -218,11 +233,6 @@ def main(argv=None):
         if coord:
             print("#. Data-parallel mesh over {} devices / {} processes".format(
                 len(jax.devices()), jax.process_count()))
-    elif jax.process_count() > 1:
-        raise ValueError(
-            "multi-process training requires --multi-device (the train step "
-            "must span the global mesh; two unconnected single-device loops "
-            "would race on the experiment tree)")
 
     if coord:
         print("#. Experiment: {}".format(exp_dir))

@@ -146,7 +146,10 @@ def evaluate_hash_dir(h_dir: str, predictors: dict, gan_type: str, verbose: bool
             return jnp.asarray(x)
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        return jax.device_put(jnp.asarray(x), batch_sharding(mesh))
+        # device_put the HOST array directly under the sharding: each device
+        # receives only its slice. (jnp.asarray first would commit the whole
+        # batch to device 0 and then reshard — a second full-batch transfer.)
+        return jax.device_put(np.asarray(x), batch_sharding(mesh))
     path_images_dir = osp.join(h_dir, "paths_images")
     dicts = {k: {} for k in (
         "face_bbox", "id", "gender", "age", "race", "pose", "aus",

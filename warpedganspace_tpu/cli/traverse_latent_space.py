@@ -215,6 +215,12 @@ def main(argv=None):
             print("#. Shard {}/{} has no latent codes; nothing to do.".format(
                 args.shard_index, args.num_shards))
             return
+    elif not latent_codes_dirs:
+        # Unsharded single-process run over an empty pool is a setup error
+        # (e.g. an interrupted sample_gan) — fail loudly rather than exiting 0
+        # with no tree for downstream stages to trip over. Under multi-process
+        # an empty per-process partition is legal (more processes than codes).
+        raise ValueError(f"latent-code pool {pool} contains no latent codes")
     if latent_codes_dirs:
         zs = np.concatenate(
             [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]

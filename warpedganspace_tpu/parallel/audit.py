@@ -23,7 +23,8 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "f64": 8,
 
 _COLLECTIVE_PAT = re.compile(
     r"=\s*((?:\([^)]*\)|\S+))\s+"
-    r"(all-reduce|reduce-scatter|all-gather|all-to-all|collective-permute)\b",
+    r"(all-reduce|reduce-scatter|all-gather|all-to-all|collective-permute)"
+    r"(-start|-done)?\b",
     re.I)
 
 
@@ -46,13 +47,15 @@ def audit_collectives(compiled) -> dict[str, tuple[int, int]]:
     """Sum output bytes of every collective op in an optimized HLO.
 
     Returns ``{kind: (count, total_bytes)}`` over all-reduce / reduce-scatter /
-    all-gather / all-to-all / collective-permute. Async pairs are counted once
-    (the ``-start`` op is skipped; the done op carries the same shape).
+    all-gather / all-to-all / collective-permute. Async pairs are counted once:
+    only the OP NAME's ``-start`` suffix skips a line (the done op carries the
+    final shape and is counted) — matching ``-start`` anywhere in the line
+    would also drop the done op, whose operand is named ``%...-start``.
     """
     by_kind: dict[str, list[int]] = {}
     for line in compiled.as_text().splitlines():
         m = _COLLECTIVE_PAT.search(line)
-        if not m or "-start" in line:
+        if not m or m.group(3) == "-start":
             continue
         by_kind.setdefault(m.group(2), []).append(shape_bytes(m.group(1)))
     return {k: (len(v), sum(v)) for k, v in sorted(by_kind.items())}

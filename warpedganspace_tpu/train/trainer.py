@@ -409,54 +409,60 @@ class Trainer:
         t0 = time.time()
         window_t0 = t0
         window_iters = 0
-        pending = []  # (iteration, metrics) — fetched at the log boundary
+        pending = []  # (start_iter, count, stacked metrics) — fetched at the log boundary
 
         iteration = starting_iter
         while iteration <= p.max_iter:
             # Chunked dispatch only on (iteration-1) % k boundaries with a
             # full chunk ahead; otherwise one plain step (keeps checkpoint
             # phase identical to the reference loop on fresh AND resumed runs).
+            # The stacked per-chunk metrics stay ON DEVICE as one dict until
+            # the log boundary (slicing mk[n][j] here would issue k*num_metric
+            # tiny dispatches per chunk — the very host overhead the chunking
+            # exists to remove); log/ckp boundaries can only land on chunk
+            # ends (log_freq % k == 0 and ckp_freq % k == 0 are enforced).
             if (step_chunk is not None and (iteration - 1) % k_chunk == 0
                     and iteration + k_chunk - 1 <= p.max_iter):
-                state, mk = step_chunk(state, g_params, seed_key, iteration)
-                chunk_metrics = [
-                    {n: mk[n][j] for n in mk} for j in range(k_chunk)]
+                state, last_metrics = step_chunk(state, g_params, seed_key, iteration)
+                n_advance = k_chunk
             else:
-                state, metrics = step(state, g_params, seed_key, iteration)
-                chunk_metrics = [metrics]
+                state, last_metrics = step(state, g_params, seed_key, iteration)
+                n_advance = 1
+            pending.append((iteration, n_advance, last_metrics))
+            window_iters += n_advance
+            iteration += n_advance - 1  # -> the chunk's final iteration
 
-            for metrics in chunk_metrics:
-                pending.append(metrics)
-                window_iters += 1
-
-                if iteration % p.log_freq == 0:
-                    # Force completion of the window, then account wall time.
-                    jax.block_until_ready(metrics)
-                    for j, m in enumerate(pending):
-                        host = {k: float(v) for k, v in m.items()}
+            if iteration % p.log_freq == 0:
+                # Force completion of the window, then account wall time.
+                jax.block_until_ready(last_metrics)
+                for start_it, cnt, m in pending:
+                    # One D2H fetch per metric per dispatch (a (k,) column for
+                    # chunks, a scalar for single steps).
+                    cols = {k: np.asarray(v).reshape(cnt) for k, v in m.items()}
+                    for j in range(cnt):
+                        host = {k: float(cols[k][j]) for k in cols}
                         self.stat_tracker.update(**host)
                         if self.tb_writer is not None:
                             # Each buffered iteration at its own global step
                             # (reference trainer.py:264-266).
-                            step_no = iteration - len(pending) + 1 + j
                             for k, v in host.items():
-                                self.tb_writer.add_scalar(k, v, step_no)
-                    pending = []
-                    now = time.time()
-                    mean_iter_time = (now - window_t0) / max(window_iters, 1)
-                    window_t0, window_iters = now, 0
-                    elapsed = now - t0
-                    eta = elapsed * ((p.max_iter - iteration) / max(iteration - starting_iter + 1, 1))
-                    self.log_progress(iteration, mean_iter_time, elapsed, eta)
+                                self.tb_writer.add_scalar(k, v, start_it + j)
+                pending = []
+                now = time.time()
+                mean_iter_time = (now - window_t0) / max(window_iters, 1)
+                window_t0, window_iters = now, 0
+                elapsed = now - t0
+                eta = elapsed * ((p.max_iter - iteration) / max(iteration - starting_iter + 1, 1))
+                self.log_progress(iteration, mean_iter_time, elapsed, eta)
 
-                if iteration % p.ckp_freq == 0:
-                    # Checkpoint iterations land on chunk boundaries
-                    # (ckp_freq % steps_per_call == 0), where `state` is the
-                    # post-iteration state exactly as in the unchunked loop.
-                    jax.block_until_ready(state["s_params"])
-                    self.save_checkpoint(iteration, support_sets, state)
+            if iteration % p.ckp_freq == 0:
+                # Checkpoint iterations land on chunk boundaries
+                # (ckp_freq % steps_per_call == 0), where `state` is the
+                # post-iteration state exactly as in the unchunked loop.
+                jax.block_until_ready(state["s_params"])
+                self.save_checkpoint(iteration, support_sets, state)
 
-                iteration += 1
+            iteration += 1
 
         if profile:
             jax.profiler.stop_trace()
