@@ -434,6 +434,11 @@ def _measure_tpu():
         "bf16_psnr_vs_f32_db": bf16_psnr,
         "warp_grad_evals_per_sec_jnp": warp_evals_per_sec,
         "warp_grad_evals_per_sec_pallas": pallas_evals_per_sec,
+        # Methodology changed in round 4: the kernel is timed inside a 32-step
+        # lax.scan chain (the production traversal access pattern), not as
+        # bare per-dispatch calls — r01-r03 values of this key measured the
+        # host dispatch loop and are not directly comparable.
+        "warp_grad_pallas_methodology": "scan_chain_32 (since r04; r01-r03 = bare dispatch loop)",
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
         "sngan_mnist_train_steps_per_sec_scan16": scan_steps_per_sec,
         "stylegan2_1024_train_steps_per_sec_bs12": flagship_steps_per_sec,

@@ -69,11 +69,23 @@ def main(argv=None):
 
     # Pool creation is cheap and single-writer: under jax.distributed only
     # process 0 samples/writes; the rest wait at the barrier so downstream
-    # stages see a complete pool.
+    # stages see a complete pool. The barrier is reached on EVERY control path
+    # (try/finally below): a coordinator exception after this gate must not
+    # leave the other hosts hung until the coordination-service timeout — it
+    # propagates as process 0's non-zero exit, which the launcher observes.
     initialize_distributed()
     if not is_coordinator():
         sync_processes("sample-gan-done")
         return
+    try:
+        _sample_pool(args)
+    finally:
+        sync_processes("sample-gan-done")
+
+
+def _sample_pool(args):
+    """Coordinator-only pool sampling body (reference sample_gan.py:32-184)."""
+    import jax
 
     out_dir = osp.join("experiments", "latent_codes", args.gan_type)
     biggan_classes = None
@@ -148,7 +160,6 @@ def main(argv=None):
         update_stdout(1)
         print()
         print()
-    sync_processes("sample-gan-done")
 
 
 if __name__ == "__main__":

@@ -202,6 +202,14 @@ def main(argv=None):
         print("#. Use latent codes from pool {}...".format(args.pool))
     latent_codes_dirs = sorted(
         d for d in os.listdir(pool) if osp.isdir(osp.join(pool, d)))
+    if not latent_codes_dirs:
+        # A GLOBALLY empty pool is a setup error (e.g. an interrupted
+        # sample_gan) on every process — fail loudly before partitioning,
+        # otherwise a sharded/multi-process run would partition emptiness to
+        # every process and exit 0 with no tree (and --gif would collate an
+        # empty dir). Only a non-empty global pool with an empty PER-PROCESS
+        # partition is legal (more processes than codes).
+        raise ValueError(f"latent-code pool {pool} contains no latent codes")
     if args.num_shards > 1:
         from warpedganspace_tpu.parallel import partition_work
 
@@ -215,12 +223,6 @@ def main(argv=None):
             print("#. Shard {}/{} has no latent codes; nothing to do.".format(
                 args.shard_index, args.num_shards))
             return
-    elif not latent_codes_dirs:
-        # Unsharded single-process run over an empty pool is a setup error
-        # (e.g. an interrupted sample_gan) — fail loudly rather than exiting 0
-        # with no tree for downstream stages to trip over. Under multi-process
-        # an empty per-process partition is legal (more processes than codes).
-        raise ValueError(f"latent-code pool {pool} contains no latent codes")
     if latent_codes_dirs:
         zs = np.concatenate(
             [np.asarray(load_pt(osp.join(pool, d, "latent_code.pt"))) for d in latent_codes_dirs]

@@ -6,6 +6,7 @@ from warpedganspace_tpu.parallel.audit import (
     shape_bytes,
 )
 from warpedganspace_tpu.parallel.mesh import (
+    assert_identical_across_processes,
     make_mesh,
     batch_sharding,
     initialize_distributed,
@@ -17,7 +18,8 @@ from warpedganspace_tpu.parallel.mesh import (
     sync_processes,
 )
 
-__all__ = ["audit_collectives", "make_mesh", "batch_sharding",
+__all__ = ["assert_identical_across_processes", "audit_collectives",
+           "make_mesh", "batch_sharding",
            "initialize_distributed", "is_coordinator", "param_bytes",
            "partition_work", "replicate_sharding", "replicate_to_global",
            "shape_bytes", "shard_batch", "sync_processes"]

@@ -19,7 +19,13 @@ import numpy as np
 import jax
 
 DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "f64": 8,
-               "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8}
+               "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+               "s16": 2, "u16": 2, "s4": 1, "u4": 1,
+               "f8e4m3fn": 1, "f8e5m2": 1, "f8e4m3b11fnuz": 1,
+               "f8e4m3fnuz": 1, "f8e5m2fnuz": 1, "f8e3m4": 1, "f8e4m3": 1,
+               "c64": 8, "c128": 16,
+               # zero-byte HLO types that can appear inside tuple shapes
+               "token": 0, "opaque": 0}
 
 _COLLECTIVE_PAT = re.compile(
     r"=\s*((?:\([^)]*\)|\S+))\s+"
@@ -29,12 +35,18 @@ _COLLECTIVE_PAT = re.compile(
 
 
 def shape_bytes(shape_str: str) -> int:
-    """``'f32[200,1024,512]'`` -> bytes; tuple shapes sum their elements."""
+    """``'f32[200,1024,512]'`` -> bytes; tuple shapes sum their elements.
+
+    An unrecognized dtype raises instead of counting 0 bytes — a silently
+    skipped collective output would invisibly weaken the "traffic <=
+    trainable-grad bytes" regression assertion (tests/test_parallel.py)."""
     total = 0
     for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
         dt, dims = m.group(1), m.group(2)
         if dt not in DTYPE_BYTES:
-            continue
+            raise ValueError(
+                f"unrecognized HLO dtype {dt!r} in collective shape "
+                f"{shape_str!r}; add it to parallel.audit.DTYPE_BYTES")
         n = 1
         for d in dims.split(","):
             if d:

@@ -72,6 +72,39 @@ def sync_processes(name: str) -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def assert_identical_across_processes(tree, name: str) -> None:
+    """Hard-verify that every process holds a byte-identical host-local copy
+    of ``tree`` before :func:`replicate_to_global` treats it as "identical by
+    construction". A partial checkpoint read / torn sidecar on one host would
+    otherwise silently produce divergent "replicated" global arrays and
+    corrupt SPMD training with no error. No-op single-process."""
+    if jax.process_count() <= 1:
+        return
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    h = hashlib.blake2b(digest_size=16)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        arr = leaf
+        if hasattr(arr, "dtype") and jax.dtypes.issubdtype(
+            arr.dtype, jax.dtypes.prng_key
+        ):
+            arr = jax.random.key_data(arr)
+        arr = np.ascontiguousarray(np.asarray(arr))
+        h.update(str(arr.dtype).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    local = np.frombuffer(h.digest(), dtype=np.uint8).astype(np.int32)
+    coord = multihost_utils.broadcast_one_to_all(local)
+    if not np.array_equal(local, coord):
+        raise RuntimeError(
+            f"process {jax.process_index()}: host-local {name} differs from "
+            "the coordinator's (checkpoint/sidecar read divergence?) — "
+            "refusing to replicate divergent state into an SPMD run"
+        )
+
+
 def replicate_to_global(tree, mesh: Mesh):
     """Host-local pytree -> fully-replicated global jax.Arrays over ``mesh``.
 

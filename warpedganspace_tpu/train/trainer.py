@@ -54,6 +54,7 @@ from warpedganspace_tpu.convert import (
 )
 from warpedganspace_tpu.core.stats import TrainingStatTracker
 from warpedganspace_tpu.parallel.mesh import (
+    assert_identical_across_processes,
     is_coordinator,
     replicate_to_global,
     sync_processes,
@@ -254,6 +255,17 @@ class Trainer:
                 restored = jax.tree_util.tree_unflatten(treedef, leaves)
                 state["opt_s"], state["opt_r"] = restored["opt_s"], restored["opt_r"]
             except Exception as e:
+                if jax.process_count() > 1:
+                    # Under multi-process SPMD every host must restore the SAME
+                    # moments; a per-host silent reset would diverge the
+                    # "identical by construction" state replicate_to_global
+                    # assumes. Fail hard (the cross-process fingerprint check
+                    # in train() is the backstop for other divergences).
+                    raise RuntimeError(
+                        f"optimizer sidecar restore failed on process "
+                        f"{jax.process_index()} ({e}); delete "
+                        f"{self.opt_sidecar} on EVERY host to reset moments"
+                    ) from e
                 print(f"#. Warning: could not restore optimizer sidecar ({e}); Adam moments reset")
         return int(ckpt["iter"]), state
 
@@ -362,6 +374,9 @@ class Trainer:
             # state (same seed / same checkpoint bytes); the global-mesh step
             # needs them as fully-replicated GLOBAL arrays (a process-local
             # committed array cannot feed an SPMD program spanning processes).
+            # VERIFY the identity first — a torn read on one host would
+            # otherwise replicate divergent state with no error.
+            assert_identical_across_processes(state, "train state")
             state = replicate_to_global(state, self.mesh)
             from jax.sharding import NamedSharding, PartitionSpec
 
