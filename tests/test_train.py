@@ -389,6 +389,44 @@ def test_train_step_scan_matches_single_steps():
                                    rtol=0, atol=2e-3)
 
 
+def test_train_step_scan_under_mesh_matches_single_steps():
+    """The SHIPPED launcher combination --steps-per-call x --multi-device:
+    a k-step lax.scan chunk whose body is the SPMD batch-sharded step over the
+    8-device mesh must reproduce k single-dispatch single-device steps (same
+    sample stream, same metrics, same final support sets). This is the
+    configuration scripts/train/{mnist,anime}.sh run on a pod; previously the
+    scan and mesh paths were each tested only in isolation."""
+    from warpedganspace_tpu.train import make_train_step_scan
+
+    G, S, R, cfg = _tiny_setup(batch_size=16)
+    key = jax.random.key(7)
+    k = 4
+
+    state1 = init_train_state(key, G, S, R, cfg)
+    step = make_train_step(G, S, R, cfg, mesh=None, donate=False)
+    singles = []
+    for it in range(1, 1 + k):
+        state1, m = step(state1, G.params, key, it)
+        singles.append({n: float(v) for n, v in m.items()})
+
+    mesh = make_mesh()
+    state2 = init_train_state(key, G, S, R, cfg)
+    stepk = make_train_step_scan(G, S, R, cfg, mesh=mesh, k=k, donate=False)
+    state2, mk = stepk(state2, G.params, key, 1)
+
+    for i in range(k):
+        for n, v in singles[i].items():
+            np.testing.assert_allclose(float(mk[n][i]), v, rtol=1e-4, atol=1e-5,
+                                       err_msg=f"iter {1 + i} metric {n}")
+    np.testing.assert_allclose(
+        np.asarray(state2["s_params"]["support_sets"]),
+        np.asarray(state1["s_params"]["support_sets"]), rtol=1e-4, atol=1e-5)
+    for leaf1, leaf2 in zip(jax.tree_util.tree_leaves(state1["r_params"]),
+                            jax.tree_util.tree_leaves(state2["r_params"])):
+        np.testing.assert_allclose(np.asarray(leaf2), np.asarray(leaf1),
+                                   rtol=0, atol=2e-3)
+
+
 def test_trainer_steps_per_call_matches_single(tmp_path):
     """Trainer with steps_per_call=2 (chunked lax.scan dispatch) reproduces
     the single-dispatch run's stats.json and final exports; a RESUMED chunked
