@@ -50,36 +50,52 @@ WARMUP = 2
 # BENCH_r02 recorded a uniform ~20-25x collapse of every device-side metric
 # (render 425 -> 17.5 img/s) while host-side metrics (JPEG ms/frame, tunnel
 # MB/s) and the pallas/jnp RATIO were unchanged — a degraded/contended chip,
-# not a code regression. The bench now defends itself: a fixed-FLOPs probe
-# (PROBE_CHAIN chained 8192^3 bf16 matmuls in ONE program, so tunnel dispatch
-# amortizes) runs at start/middle/end; if the best probe lands below
-# DEGRADED_FRACTION of the healthy-device reference, the run is marked
-# ``degraded`` in the headline JSON and bench_details so its numbers are not
-# mistaken for a code regression.
-EXPECTED_PROBE_TFLOPS = 116.0   # measured healthy v5e via axon (2026-08-17,
-                                # 3 trials: 116.3-116.6; chip peak 197 bf16)
+# not a code regression. The bench now defends itself: a known-FLOPs probe
+# runs at start/middle/end; if the best probe lands below DEGRADED_FRACTION
+# of the healthy-device reference, the run is marked ``degraded`` in the
+# headline JSON and bench_details so its numbers are not mistaken for a code
+# regression.
+#
+# Methodology (round 5, scripts/calibrate_mfu.py): SLOPE of two chain lengths
+# of 8192^3 bf16 matmuls, (t_128 - t_8) / 120 — the differencing removes the
+# fixed per-dispatch cost (~25 ms through the axon tunnel) that the round-3
+# fixed-chain probe buried in its 74 ms program, underselling the chip at
+# "116 TFLOP/s" while the MFU table reported conv graphs at 153 TFLOP/s. The
+# slope probe reads the pure device rate: 178.5-185.4 over 4 trials, and a
+# hand-counted plain 3x3 conv sustains 172.8 — so 153 TFLOP/s render MFU and
+# ~179 effective peak (91% of the 197 nominal) are mutually consistent.
+EXPECTED_PROBE_TFLOPS = 179.0   # slope-method healthy v5e via axon
+                                # (2026-08-20, 4 trials: 178.5-185.4)
 DEGRADED_FRACTION = 0.5
-PROBE_CHAIN = 8                 # matmuls chained per probe program
+PROBE_CHAINS = (8, 128)         # chain lengths differenced for the slope
 
 
 def _probe_tflops(log=None):
-    """Known-FLOPs device probe: best-of-2 chained 8k^3 bf16 matmul, TFLOP/s."""
+    """Known-FLOPs device probe: slope-method 8k^3 bf16 matmul TFLOP/s
+    (fixed dispatch overhead differenced out; best-of-2 per chain length)."""
     import jax
     import jax.numpy as jnp
 
     x = jnp.ones((8192, 8192), jnp.bfloat16)
-    f = jax.jit(lambda a: jnp.sum(
-        jax.lax.fori_loop(0, PROBE_CHAIN, lambda i, c: (c @ x) * 1e-4, a)))
-    float(f(x))  # compile + warm (persistent cache makes this cheap after once)
-    best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
-        float(f(x))
-        best = max(best, PROBE_CHAIN * 2 * 8192**3 / (time.perf_counter() - t0) / 1e12)
+
+    def chain(n):
+        f = jax.jit(lambda a: jnp.sum(
+            jax.lax.fori_loop(0, n, lambda i, c: (c @ x) * 1e-4, a)))
+        float(f(x))  # compile + warm (persistent cache makes this cheap)
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    n1, n2 = PROBE_CHAINS
+    slope = (chain(n2) - chain(n1)) / (n2 - n1)
+    tflops = 2 * 8192**3 / slope / 1e12
     if log:
-        log(f"device probe: {best:.1f} TFLOP/s bf16 "
+        log(f"device probe: {tflops:.1f} TFLOP/s bf16 slope-method "
             f"(healthy reference {EXPECTED_PROBE_TFLOPS:.0f})")
-    return best
+    return tflops
 
 
 def _measure_rounds(measure_once, rounds=3, budget_s=150.0):
@@ -325,7 +341,8 @@ def _measure_tpu():
         return reps / (time.perf_counter() - t0)
 
     train_steps_per_sec, sngan_spread, n = _measure_rounds(_sngan_train_once, rounds=5)
-    log(f"SNGAN-MNIST train: {train_steps_per_sec:.1f} steps/s "
+    log(f"SNGAN-MNIST train single-dispatch (diagnostic — host-timing-"
+        f"sensitive, see scan16 claim below): {train_steps_per_sec:.1f} steps/s "
         f"(best of {n}, spread {sngan_spread:.1%})")
 
     # The --steps-per-call 16 launcher path (k iterations per XLA program
@@ -348,7 +365,13 @@ def _measure_tpu():
         return 16 * reps / (time.perf_counter() - t0)
 
     scan_steps_per_sec, scan_spread, n = _measure_rounds(_sngan_scan_once, rounds=5)
-    log(f"SNGAN-MNIST train (--steps-per-call 16): {scan_steps_per_sec:.1f} steps/s "
+    # THE SNGAN claim of record: the launchers' --steps-per-call 16 path —
+    # one Python dispatch per 16 iterations pins the deep-queue regime, so
+    # its window timing is robust to host/tunnel contention (round-4
+    # dispatch-window analysis; the single-dispatch row above is the
+    # diagnostic that drifts with host state).
+    log(f"SNGAN-MNIST train claim (--steps-per-call 16 launcher config): "
+        f"{scan_steps_per_sec:.1f} steps/s "
         f"(best of {n}, spread {scan_spread:.1%})")
 
     # --- flagship train step (StyleGAN2-1024 W-space, bs=12, the production
@@ -439,6 +462,10 @@ def _measure_tpu():
         # bare per-dispatch calls — r01-r03 values of this key measured the
         # host dispatch loop and are not directly comparable.
         "warp_grad_pallas_methodology": "scan_chain_32 (since r04; r01-r03 = bare dispatch loop)",
+        # The claim of record = the stable scan16 launcher path; bs128
+        # single-dispatch stays as a host-sensitivity diagnostic (round-4
+        # window analysis: same ~5.5 ms/iter device time, wider host spread).
+        "sngan_mnist_train_steps_per_sec": scan_steps_per_sec,
         "sngan_mnist_train_steps_per_sec_bs128": train_steps_per_sec,
         "sngan_mnist_train_steps_per_sec_scan16": scan_steps_per_sec,
         "stylegan2_1024_train_steps_per_sec_bs12": flagship_steps_per_sec,
@@ -455,6 +482,9 @@ def _measure_tpu():
         },
         "probe_tflops": probe_best,
         "probe_tflops_all": probes,
+        # Round 5: slope method (fixed dispatch cost differenced out) — NOT
+        # comparable to the r03/r04 fixed-chain probe values (~116).
+        "probe_method": "slope(8,128)",
         "expected_tflops": EXPECTED_PROBE_TFLOPS if is_tpu else None,
         "degraded": degraded,
         "platform": jax.devices()[0].platform,
@@ -628,19 +658,31 @@ def _measure_attribute_stage():
             if time.perf_counter() - t_budget > 180.0:
                 break
         best = max(vals)
-        spread = (best - min(vals)) / best if best > 0 else 0.0
+        # A spread from one rep is meaningless — report it as None with the
+        # budget reason instead of a fake 0.0 (VERDICT r4 weak item 5).
+        spread = ((best - min(vals)) / best if best > 0 else 0.0) \
+            if len(vals) >= 2 else None
+        spread_txt = f"spread {spread:.1%}" if spread is not None else \
+            "single rep — 180 s budget cap on this 1-core host, no spread"
         print(f"[bench-attr] attribute stage e2e (K={K}, T={T}): {best:.2f} img/s "
-              f"(best of {len(vals)}, spread {spread:.1%})",
+              f"(best of {len(vals)}, {spread_txt})",
               file=sys.stderr, flush=True)
         return {
             "attribute_stage_images_per_sec": best,
+            "attribute_stage_reps": len(vals),
             "attribute_stage_spread": spread,
             # The absolute rate is host-JPEG-decode bound on this 1-core dev
             # harness and swings with tunnel/host contention; the stable claim
-            # is the device-pipeline speedup measured by the same-session A/B
-            # in scripts/measure_attribute_stage.py (2.48x, PERFORMANCE.md).
+            # is the device-pipeline speedup. That 2.48x (2.75 -> 6.83 img/s)
+            # was a round-3 SAME-SESSION A/B (scripts/measure_attribute_stage
+            # .py, PERFORMANCE.md "device pipeline") against the pre-pipeline
+            # host-crop implementation, which has since been removed from the
+            # tree — it cannot be re-measured in-session and is recorded here
+            # as the round-3 provenance constant, not a fresh measurement.
+            "attribute_stage_pipeline_speedup_r3": 2.48,
             "attribute_stage_note": "host-decode-bound; stable claim = 2.48x "
-                                    "pipeline A/B (scripts/measure_attribute_stage.py)",
+                                    "pipeline A/B (round-3 same-session, "
+                                    "legacy path since removed)",
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

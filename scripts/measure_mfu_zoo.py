@@ -24,7 +24,15 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/wgs_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 T0 = time.perf_counter()
-V5E_PEAK_BF16 = 197e12
+V5E_PEAK_BF16 = 197e12   # nominal chip peak: the MFU denominator
+# Measured effective ceiling on THIS chip via the axon tunnel (round 5,
+# scripts/calibrate_mfu.py slope method: pure 8192^3 bf16 matmul 178.5-185.4
+# TFLOP/s over 4 trials; hand-counted plain 3x3 conv 172.8). "ceil" column =
+# achieved/ceiling — how much measured headroom a row really has. The
+# round-3/4 "116 TFLOP/s probe" was a fixed-chain measurement that buried
+# ~25 ms of tunnel dispatch in a 74 ms program; it never contradicted the
+# MFU rows.
+MEASURED_CEILING = 179e12
 HBM_GBS = 819e9
 
 
@@ -58,10 +66,12 @@ def row(name, fn, args, unit_count, unit="img", reps=10, pallas=False):
     by = float(ca.get("bytes accessed", 0.0))
     t = timed(jfn, args, reps=reps)
     mfu = fl / t / V5E_PEAK_BF16
+    ceil = fl / t / MEASURED_CEILING
     hbm = by / t / HBM_GBS
     ge = ">=" if pallas else ""
     log(f"{name}: {t * 1e3:7.1f} ms -> {unit_count / t:8.1f} {unit}/s | "
-        f"{fl / t / 1e12:6.1f} TFLOP/s = {ge}{100 * mfu:5.1f}% MFU | "
+        f"{fl / t / 1e12:6.1f} TFLOP/s = {ge}{100 * mfu:5.1f}% MFU "
+        f"({ge}{100 * ceil:5.1f}% of measured ceiling) | "
         f"HBM {ge}{100 * hbm:5.1f}% | binding {max(mfu, hbm) * 100:.1f}%")
     return t
 
