@@ -23,10 +23,16 @@ isolating three variants of the exact inner-loop pattern:
            Mosaic overlaps data-independent VPU work with MXU work better
            under fine-grain interleaving than under phase separation.
 
-sustain(v) = dot-FLOPs / t(v) / MEASURED_CEILING. If neither full nor inter
-clears ~0.65, the mega-kernel cannot beat fold-x (it would need >60% through
-TWO sections plus boundary copies) and the idea closes as a quantified
-negative. Run from the repo root on the TPU.
+sustain(v) = dot-FLOPs / t(v) / MEASURED_CEILING.
+
+MEASURED RESULT (2026-08-20, v5e): dots 2.27 ms = 76.0% sustain, build
+1.91 ms, full 2.34 ms = 73.9%, inter 2.35 ms — i.e. 97% of the build cost
+is ALREADY hidden under the matmuls and the loop's ceiling is epilogue/
+write-bound, not build-bound. That kills the mega-kernel's premise (there
+is no serialized build time to reclaim): >500 img/s needs 76.4% sustain
+from the FULL kernel (with noise/demod/RGB epilogues the rig omits), above
+the 76.0% the stripped loop reaches. Closed as measured-and-rejected —
+PERFORMANCE.md "Round-5 closure". Run from the repo root on the TPU.
 """
 import functools
 import os.path as osp
@@ -66,7 +72,7 @@ def log(m):
 
 
 def _kernel(m_in, w, s2, d2, out, q, *, variant):
-    s = s2[0, 0:1, :]                      # (1, 128) lane vector
+    s = s2[0, 0:1, :].astype(jnp.bfloat16)  # (1, 128) lane vector
     d = d2[0, 0:1, :].astype(jnp.float32)
 
     def build_block(i):
@@ -125,17 +131,22 @@ def run(variant):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((GRID, rows, WG, 128), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((rows, WG, K), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
     )
     jf = jax.jit(lambda m: f(m, w, s2, d2))
     r = jf(m)
     float(jnp.sum(r[0, 0, 0].astype(jnp.float32)))  # materialize
+    # Deep dispatch queue: the axon tunnel charges ~25 ms per sync window
+    # (scripts/calibrate_mfu.py), so shallow rep counts inflate per-call time
+    # by tunnel RTT / reps. 40 reps per window bounds that to <1 ms/call.
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(5):
+        for _ in range(40):
             r = jf(m)
         float(jnp.sum(r[0, 0, 0].astype(jnp.float32)))
-        best = min(best, (time.perf_counter() - t0) / 5)
+        best = min(best, (time.perf_counter() - t0) / 40)
     return best
 
 
