@@ -39,7 +39,11 @@ def sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
 
 
-def timed(fn, args, reps=30, rounds=3):
+def timed(fn, args, reps=100, rounds=3):
+    # 100-deep dispatch windows: the axon tunnel charges ~25 ms per sync
+    # window (scripts/calibrate_mfu.py), which would inflate a 2 ms stage by
+    # ~40% at 30 reps; at 100 reps the bias is <0.3 ms. The cumulative-depth
+    # DELTAS are bias-free either way (one sync per window cancels).
     jfn = jax.jit(fn)
     sync(jfn(*args))
     best = 1e9
@@ -110,26 +114,31 @@ def main():
     # the full graph. Stage k's share = t(k) - t(k-1).
     ts = []
     fls = []
+    bys = []
     for k in range(nb + 1):
         f = lambda p, z, k=k: truncated_apply(gen, p, z, k, with_out=False)
         ts.append(timed(f, (params, z)))
-        fls.append(cost(f, (params, z))[0])
+        cf, cb = cost(f, (params, z))
+        fls.append(cf)
+        bys.append(cb)
         tag = "head(linear+reshape)" if k == 0 else \
             f"block{k} {chans[k-1][0]}->{chans[k-1][1]}ch @{res[k-1]}^2" + \
             (" +SA-attn" if res[k - 1] == 64 else "")
         log(f"  cum k={k}: {ts[k] * 1e3:7.2f} ms   [{tag}]")
     out_t = full_t - ts[-1]
-    log("--- per-stage deltas (ms | TFLOP/s | %ceiling) ---")
-    prev_t, prev_f = 0.0, 0.0
+    log("--- per-stage deltas (ms | TFLOP/s | %ceiling | HBM%) ---")
+    prev_t, prev_f, prev_b = 0.0, 0.0, 0.0
     for k in range(nb + 1):
-        dt, df = ts[k] - prev_t, fls[k] - prev_f
-        prev_t, prev_f = ts[k], fls[k]
+        dt, df, db = ts[k] - prev_t, fls[k] - prev_f, bys[k] - prev_b
+        prev_t, prev_f, prev_b = ts[k], fls[k], bys[k]
         tag = "head" if k == 0 else f"block{k} @{res[k-1]}^2"
         log(f"  {tag:18s}: {dt * 1e3:7.2f} ms | {df / max(dt, 1e-9) / 1e12:6.1f} "
-            f"TFLOP/s | {100 * df / max(dt, 1e-9) / MEASURED_CEILING:5.1f}%")
+            f"TFLOP/s | {100 * df / max(dt, 1e-9) / MEASURED_CEILING:5.1f}% | "
+            f"HBM {100 * db / max(dt, 1e-9) / HBM_GBS:5.1f}%")
     log(f"  {'out stage':18s}: {out_t * 1e3:7.2f} ms | "
         f"{(fl - fls[-1]) / max(out_t, 1e-9) / 1e12:6.1f} TFLOP/s | "
-        f"{100 * (fl - fls[-1]) / max(out_t, 1e-9) / MEASURED_CEILING:5.1f}%")
+        f"{100 * (fl - fls[-1]) / max(out_t, 1e-9) / MEASURED_CEILING:5.1f}% | "
+        f"HBM {100 * (by - bys[-1]) / max(out_t, 1e-9) / HBM_GBS:5.1f}%")
 
     # Attention isolated at its block's input shape (64^2, C=2ch).
     cattn = gen.arch["out_channels"][-2]
