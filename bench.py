@@ -329,11 +329,12 @@ def _measure_tpu():
     sync(m["total_loss"])
 
     def _sngan_train_once():
-        # 60 reps per window: at ~7 ms/step a 20-rep window is ~140 ms and
-        # host-timer/dispatch noise produced the round-3 6.6% spread; the
-        # longer window brings the spread in line with the other lines.
+        # 200 reps per window (~1.25 s): at ~6 ms/step the round-4 60-rep
+        # window still charged the ~25 ms tunnel sync at ~7% per step
+        # (calibrate_mfu.py intercept); host-timer/dispatch noise produced
+        # the round-3 6.6% spread at 20 reps.
         nonlocal state
-        reps = 60
+        reps = 200
         t0 = time.perf_counter()
         for it in range(2, 2 + reps):
             state, m = step(state, G.params, key, it)
@@ -357,7 +358,9 @@ def _measure_tpu():
 
     def _sngan_scan_once():
         nonlocal state
-        reps = 4  # 4 x 16 = 64 iterations per window
+        reps = 25  # 25 x 16 = 400 iterations (~2.5 s) per window: the ~25 ms
+        #            window sync costs <0.1 ms/iter (round-4's 64-iter window
+        #            charged it at ~6%)
         t0 = time.perf_counter()
         for r in range(reps):
             state, mk = step16(state, G.params, key, 200 + 16 * r)
@@ -396,7 +399,7 @@ def _measure_tpu():
         log("compiling flagship train step...")
         stateT, mT = stepT(stateT, GT.params, key, 1)
         sync(mT["total_loss"])
-        repsT = 10
+        repsT = 12  # ~2.7 s windows: the ~25 ms window sync costs <1%/step
 
         def _flagship_once():
             nonlocal stateT
@@ -427,7 +430,10 @@ def _measure_tpu():
         sync(pg_render(pg_params, pgz))
 
         def _proggan_once():
-            reps = 10
+            # 50-rep windows (~2.8 s): one ~25 ms tunnel sync per window
+            # (calibrate_mfu.py intercept) costs <1% per call; the round-4
+            # 10-rep windows inflated this ~55 ms render by ~4.5%.
+            reps = 50
             t0 = time.perf_counter()
             for _ in range(reps):
                 o = pg_render(pg_params, pgz)
@@ -664,8 +670,10 @@ def _measure_attribute_stage():
             if len(vals) >= 2 else None
         spread_txt = f"spread {spread:.1%}" if spread is not None else \
             "single rep — 180 s budget cap on this 1-core host, no spread"
-        print(f"[bench-attr] attribute stage e2e (K={K}, T={T}): {best:.2f} img/s "
-              f"(best of {len(vals)}, {spread_txt})",
+        print(f"[bench-attr] attribute stage e2e (K={K}, T={T}) "
+              f"(diagnostic — host-JPEG-decode-bound on this 1-core host; "
+              f"stable claim = 2.48x device-pipeline A/B, round 3): "
+              f"{best:.2f} img/s (best of {len(vals)}, {spread_txt})",
               file=sys.stderr, flush=True)
         return {
             "attribute_stage_images_per_sec": best,

@@ -44,8 +44,21 @@ def sync(x):
     return float(jnp.sum(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32)))
 
 
-def timed(fn, args, reps=10, rounds=3):
+def timed(fn, args, reps=None, rounds=3, target_window=2.5):
+    """Best-of-`rounds` per-call time over deep dispatch windows.
+
+    Each window pays ONE ~25 ms tunnel sync (scripts/calibrate_mfu.py's
+    fitted intercept), so per-call bias = 25 ms / reps. reps is auto-scaled
+    so the window is >= target_window (2.5 s = 100x the RTT -> bias < 1%);
+    the round-4 zoo's fixed shallow windows (reps 3-20) inflated short rows
+    by up to ~8% (e.g. BigGAN render 16.4 vs 15.0 ms true).
+    """
     sync(fn(*args))
+    if reps is None:
+        t0 = time.perf_counter()
+        sync(fn(*args))
+        t1 = time.perf_counter() - t0          # one call incl. the sync RTT
+        reps = max(10, min(400, round(target_window / max(t1 - 0.025, 1e-4))))
     best = 1e9
     for _ in range(rounds):
         t0 = time.perf_counter()
@@ -56,7 +69,7 @@ def timed(fn, args, reps=10, rounds=3):
     return best
 
 
-def row(name, fn, args, unit_count, unit="img", reps=10, pallas=False):
+def row(name, fn, args, unit_count, unit="img", reps=None, pallas=False):
     jfn = jax.jit(fn)
     c = jfn.lower(*args).compile()
     ca = c.cost_analysis()
@@ -117,7 +130,7 @@ if "sg2train" in which:
     state = jax.jit(lambda k: init_train_state(k, G, S, R, cfg))(key)
     step = make_train_step(G, S, R, cfg, donate=False)
     row("StyleGAN2-1024 train bs12 prod", lambda st, gp, k, i: step(st, gp, k, i),
-        (state, G.params, key, 1), 1, unit="step", reps=5)
+        (state, G.params, key, 1), 1, unit="step")
 
 sg2_bs_rows = sorted(int(w.split("sg2train", 1)[1]) for w in which
                      if w.startswith("sg2train") and w != "sg2train")
@@ -151,7 +164,7 @@ for bs in sg2_bs_rows:
             step = make_train_step(G, S, R, cfg, donate=False)
             t = row(f"StyleGAN2-1024 train bs{bs} remat={remat}",
                     lambda st, gp, k, i: step(st, gp, k, i),
-                    (state, G.params, key, 1), 1, unit="step", reps=5)
+                    (state, G.params, key, 1), 1, unit="step")
             log(f"  -> {bs / t:.1f} samples/s (bs12 prod reference: "
                 f"4.57 steps/s = 54.8 samples/s)")
             break
@@ -185,7 +198,7 @@ for bs in pg_bs_rows:
         state = jax.jit(lambda k: init_train_state(k, PG, S, R, cfg))(key)
         step = make_train_step(PG, S, R, cfg, donate=False)
         t = row(f"ProgGAN-1024 train bs{bs} prod", lambda st, gp, k, i: step(st, gp, k, i),
-                (state, PG.params, key, 1), 1, unit="step", reps=5)
+                (state, PG.params, key, 1), 1, unit="step")
         if bs != 8:
             log(f"  -> {bs / t:.1f} samples/s (bs8 prod reference: "
                 f"8.5 steps/s = 68 samples/s)")
@@ -197,7 +210,7 @@ if "bgrender" in which:
     bg16 = cast_params_bf16(jax.jit(bgen.init)(key))
     bz = jax.random.normal(jax.random.key(3), (64, bgen.dim_z), jnp.bfloat16)
     row("BigGAN-128 render B=64 bf16", lambda p, z: bgen.apply(p, z),
-        (bg16, bz), 64, reps=20, pallas=True)
+        (bg16, bz), 64, pallas=True)
 
 bg_bs_rows = ([32] if "bgtrain" in which else []) + sorted(
     int(w.split("bgtrain", 1)[1]) for w in which
@@ -217,7 +230,7 @@ for bs in bg_bs_rows:
         state = jax.jit(lambda k: init_train_state(k, BG, S, R, cfg))(key)
         step = make_train_step(BG, S, R, cfg, donate=False)
         t = row(f"BigGAN-128 train bs{bs} prod", lambda st, gp, k, i: step(st, gp, k, i),
-                (state, BG.params, key, 1), 1, unit="step", reps=10, pallas=True)
+                (state, BG.params, key, 1), 1, unit="step", pallas=True)
         if bs != 32:
             log(f"  -> {bs / t:.1f} samples/s (bs32 prod reference: "
                 f"33.8 steps/s = 1082 samples/s)")
@@ -247,7 +260,7 @@ for bs in sn_bs_rows:
         step16 = make_train_step_scan(G, S, R, cfg, k=16, donate=False)
         t = row(f"{gan_type} train bs{bs} scan16",
                 lambda st, gp, k, i: step16(st, gp, k, i),
-                (state, G.params, key, 1), 16, unit="step", reps=3)
+                (state, G.params, key, 1), 16, unit="step")
         if bs != 128:
             log(f"  -> {16 * bs / t:.0f} samples/s (bs128 reference: "
                 f"160 steps/s = 20500 samples/s)")

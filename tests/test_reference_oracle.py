@@ -295,6 +295,47 @@ def test_rank_script_oracle(oracle_tree):
         assert sorted(fa.read().splitlines()) == sorted(fb.read().splitlines())
 
 
+def test_checkpoint2model_script_oracle(oracle_tree):
+    """Run the reference's real checkpoint2model.py (checkpoint2model.py:36-50)
+    on the ref-side copy of OUR trainer's checkpoint.pt, run OUR
+    checkpoint2model CLI on the original, and assert both emit the same
+    iteration-stamped weight files with identical tensors."""
+    torch = torch_or_skip()
+    sandbox = oracle_tree["sandbox"]
+    # checkpoint.pt lives in the WIP tree only — the wip->complete copy
+    # excludes it, matching the reference's layout (train.py keeps wip/).
+    wip_exp = osp.join("experiments", "wip", osp.basename(oracle_tree["exp"]))
+    ours_models = osp.join(sandbox, wip_exp, "models")
+    refs_models = osp.join(oracle_tree["ref_exp"], "models")
+    assert osp.isfile(osp.join(ours_models, "checkpoint.pt"))
+    # Both scripts must split the SAME checkpoint: plant ours in the ref copy.
+    shutil.copy(osp.join(ours_models, "checkpoint.pt"), refs_models)
+
+    cwd = os.getcwd()
+    os.chdir(sandbox)
+    try:
+        from warpedganspace_tpu.cli import checkpoint2model
+
+        checkpoint2model.main(["--exp", wip_exp])
+        _run_reference_script("checkpoint2model.py", sandbox,
+                              ["--exp", oracle_tree["ref_exp"]])
+    finally:
+        os.chdir(cwd)
+
+    split = lambda d: sorted(f for f in os.listdir(d)
+                             if f.startswith(("support_sets-", "reconstructor-")))
+    names = split(ours_models)
+    assert names == split(refs_models)
+    assert len(names) == 2, names  # one stamped pair from one checkpoint iter
+    for f in names:
+        a = torch.load(osp.join(ours_models, f), map_location="cpu")
+        b = torch.load(osp.join(refs_models, f), map_location="cpu")
+        assert sorted(a.keys()) == sorted(b.keys()), f
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{f}:{k}")
+
+
 def test_reference_pool_consumed_by_our_cli(oracle_tree):
     """Interop in the other direction: a pool created by the reference's own
     sample_gan.py (sample_gan.py:156-179) is consumed by OUR traversal CLI,
