@@ -90,7 +90,23 @@ def _probe_tflops(log=None):
         return best
 
     n1, n2 = PROBE_CHAINS
-    slope = (chain(n2) - chain(n1)) / (n2 - n1)
+    t1 = chain(n1)
+    # Early exit on a degraded device: chain(8) alone reads ~65% of the slope
+    # value on a healthy chip (the ~25 ms dispatch intercept is still in its
+    # denominator), so a rough rate already below the degraded threshold
+    # cannot recover — skip the 16x longer chain(128), which on a
+    # BENCH_r02-class 20x-degraded chip would burn ~minutes across the three
+    # probe invocations. The returned rough value is only used to flag
+    # ``degraded``; it is not a calibration number.
+    rough = 2 * n1 * 8192**3 / t1 / 1e12
+    if rough < DEGRADED_FRACTION * EXPECTED_PROBE_TFLOPS:
+        if log:
+            log(f"device probe: ~{rough:.1f} TFLOP/s from chain({n1}) alone "
+                f"— below the degraded threshold "
+                f"({DEGRADED_FRACTION:.0%} of {EXPECTED_PROBE_TFLOPS:.0f}); "
+                f"skipping the long chain")
+        return rough
+    slope = (chain(n2) - t1) / (n2 - n1)
     tflops = 2 * 8192**3 / slope / 1e12
     if log:
         log(f"device probe: {tflops:.1f} TFLOP/s bf16 slope-method "

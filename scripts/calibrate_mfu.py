@@ -135,9 +135,11 @@ def exp_c_dilated():
     log("=== C. lhs-dilated conv (merged 2x-up 4x4 kernel, C=128) ===")
     # The fold-x/s2d tails and every merged nearest-up conv lower to
     # lhs_dilation=2 convs. Hand-dense counts every tap against the dilated
-    # grid (incl. inserted zeros); hand-useful counts only nonzero taps
-    # (= 4 phases of a polyphase decomposition, kernel taps 4+2+2+1 = 2.25/4
-    # of dense).
+    # grid (incl. inserted zeros); hand-useful counts only nonzero taps: with
+    # dilation 2, any 4 consecutive dilated positions contain exactly 2 even
+    # (nonzero) ones, so EVERY output phase of a 4x4 kernel reads 2x2 nonzero
+    # taps = 4 of 16 = dense/4. (A 3x3 kernel phases as 4+2+2+1 taps — also
+    # 2.25/9 = 1/4 on average; the fraction is 1/4 either way.)
     B, H, W, C = 96, 32, 32, 128
     x = jnp.ones((B, H, W, C), jnp.bfloat16)
     w = jnp.ones((4, 4, C, C), jnp.bfloat16) * 1e-3
@@ -152,7 +154,7 @@ def exp_c_dilated():
     out = jax.eval_shape(conv, x, w)
     Ho, Wo = out.shape[1], out.shape[2]
     hand_dense = 2 * B * Ho * Wo * 4 * 4 * C * C
-    hand_useful = hand_dense * 2.25 / 4  # polyphase: 4 phases of (2x2,2x1,1x2,1x1) taps
+    hand_useful = hand_dense / 4  # 2x2 nonzero taps per output phase (see above)
     cm = cost_flops(conv, x, w)
     log(f"out {Ho}x{Wo}; hand-dense {hand_dense / 1e9:.2f} G, hand-useful "
         f"{hand_useful / 1e9:.2f} G, cost-model {cm / 1e9:.2f} G "

@@ -26,7 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 T0 = time.perf_counter()
 V5E_PEAK_BF16 = 197e12
-MEASURED_CEILING = 179e12  # scripts/calibrate_mfu.py (round 5)
+from bench import EXPECTED_PROBE_TFLOPS
+MEASURED_CEILING = EXPECTED_PROBE_TFLOPS * 1e12  # single source: bench.py's slope-probe calibration (scripts/calibrate_mfu.py, round 5)
 HBM_GBS = 819e9
 B = 64
 

@@ -32,7 +32,8 @@ V5E_PEAK_BF16 = 197e12   # nominal chip peak: the MFU denominator
 # round-3/4 "116 TFLOP/s probe" was a fixed-chain measurement that buried
 # ~25 ms of tunnel dispatch in a 74 ms program; it never contradicted the
 # MFU rows.
-MEASURED_CEILING = 179e12
+from bench import EXPECTED_PROBE_TFLOPS
+MEASURED_CEILING = EXPECTED_PROBE_TFLOPS * 1e12  # single source: bench.py's slope-probe calibration (scripts/calibrate_mfu.py, round 5)
 HBM_GBS = 819e9
 
 
@@ -48,17 +49,21 @@ def timed(fn, args, reps=None, rounds=3, target_window=2.5):
     """Best-of-`rounds` per-call time over deep dispatch windows.
 
     Each window pays ONE ~25 ms tunnel sync (scripts/calibrate_mfu.py's
-    fitted intercept), so per-call bias = 25 ms / reps. reps is auto-scaled
-    so the window is >= target_window (2.5 s = 100x the RTT -> bias < 1%);
-    the round-4 zoo's fixed shallow windows (reps 3-20) inflated short rows
-    by up to ~8% (e.g. BigGAN render 16.4 vs 15.0 ms true).
+    fitted intercept), so per-call bias = 25 ms / (reps * t_call). reps is
+    auto-scaled so the window is >= target_window (2.5 s = 100x the RTT ->
+    bias < 1% for any call >= ~6.3 ms; slower calls bound it even tighter,
+    and every zoo row is >= ~15 ms). The floor of 3 keeps multi-second train
+    steps cheap (25 ms / 3 s < 1% already); the 400 cap bounds a pathological
+    auto-estimate. The round-4 zoo's fixed shallow windows (reps 3-20)
+    inflated short rows by up to ~8% (e.g. BigGAN render 16.4 vs 15.0 ms
+    true).
     """
     sync(fn(*args))
     if reps is None:
         t0 = time.perf_counter()
         sync(fn(*args))
         t1 = time.perf_counter() - t0          # one call incl. the sync RTT
-        reps = max(10, min(400, round(target_window / max(t1 - 0.025, 1e-4))))
+        reps = max(3, min(400, round(target_window / max(t1 - 0.025, 1e-4))))
     best = 1e9
     for _ in range(rounds):
         t0 = time.perf_counter()

@@ -53,7 +53,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from warpedganspace_tpu.ops.sg2_tail_pallas import _leaky, _window  # noqa: E402
 
 T0 = time.perf_counter()
-MEASURED_CEILING = 179e12  # scripts/calibrate_mfu.py (round 5)
+from bench import EXPECTED_PROBE_TFLOPS
+MEASURED_CEILING = EXPECTED_PROBE_TFLOPS * 1e12  # single source: bench.py's slope-probe calibration (scripts/calibrate_mfu.py, round 5)
 
 # 1024-res section same-conv pattern (C=32): wg width-groups of 128 lanes,
 # K = 256-lane windows, 3 y-taps, _ROW_BLOCK=8.
