@@ -70,24 +70,27 @@ DEGRADED_FRACTION = 0.5
 PROBE_CHAINS = (8, 128)         # chain lengths differenced for the slope
 
 
-def _probe_tflops(log=None):
+def _probe_tflops(log=None, chain=None):
     """Known-FLOPs device probe: slope-method 8k^3 bf16 matmul TFLOP/s
-    (fixed dispatch overhead differenced out; best-of-2 per chain length)."""
-    import jax
-    import jax.numpy as jnp
+    (fixed dispatch overhead differenced out; best-of-2 per chain length).
+    ``chain`` (n -> best wall seconds for an n-matmul program) is injectable
+    so the degraded-device early exit is unit-testable without a device."""
+    if chain is None:
+        import jax
+        import jax.numpy as jnp
 
-    x = jnp.ones((8192, 8192), jnp.bfloat16)
+        x = jnp.ones((8192, 8192), jnp.bfloat16)
 
-    def chain(n):
-        f = jax.jit(lambda a: jnp.sum(
-            jax.lax.fori_loop(0, n, lambda i, c: (c @ x) * 1e-4, a)))
-        float(f(x))  # compile + warm (persistent cache makes this cheap)
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            float(f(x))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def chain(n):
+            f = jax.jit(lambda a: jnp.sum(
+                jax.lax.fori_loop(0, n, lambda i, c: (c @ x) * 1e-4, a)))
+            float(f(x))  # compile + warm (persistent cache makes this cheap)
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(f(x))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
     n1, n2 = PROBE_CHAINS
     t1 = chain(n1)
