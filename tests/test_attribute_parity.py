@@ -66,10 +66,10 @@ def _build_torch_fairface(torch, celeba_mod):
     return FF()
 
 
-@pytest.fixture(scope="module")
-def torch_modules():
-    """All six reference torch predictors with seed-0 random weights."""
-    torch = torch_or_skip()
+def build_torch_predictors(torch):
+    """All six reference torch predictors with seed-0 random weights.
+    Shared with test_reference_attribute_oracle.py, which feeds the same
+    state dicts to the reference's OWN script via models/pretrained/ files."""
     torch.manual_seed(0)
     s3fd_mod = import_reference_module("lib.evaluation.sfd.net_s3fd")
     arc_mod = import_reference_module("lib.evaluation.archface.arcface")
@@ -89,6 +89,13 @@ def torch_modules():
     }
     for m in mods.values():
         _randomize_bn(torch, m)
+    return mods, attr_file
+
+
+@pytest.fixture(scope="module")
+def torch_modules():
+    torch = torch_or_skip()
+    mods, attr_file = build_torch_predictors(torch)
     return torch, mods, attr_file
 
 
