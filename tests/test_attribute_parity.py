@@ -122,8 +122,6 @@ def _oracle_eval(torch, mods, h_dir, gan_type):
     """Line-faithful torch transcription of the reference per-hash loop
     (traverse_attribute_space.py:288-536). Returns {name: np.ndarray} with the
     eval_np contents."""
-    import torch.nn.functional as F
-
     from warpedganspace_tpu.cli.traverse_attribute_space import AUs
     from warpedganspace_tpu.utils.data import PathImages
 
@@ -133,29 +131,11 @@ def _oracle_eval(torch, mods, h_dir, gan_type):
     mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
     std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
 
-    # --- torchvision-era transform semantics (Resize/CenterCrop on tensors) --
-    def t_resize(img, size):
-        h, w = img.shape[-2:]
-        if (w <= h and w == size) or (h <= w and h == size):
-            return img
-        if w < h:
-            ow, oh = size, int(size * h / w)
-        else:
-            oh, ow = size, int(size * w / h)
-        return F.interpolate(img, size=(oh, ow), mode="bilinear", align_corners=False)
-
-    def t_center_crop(img, size):
-        h, w = img.shape[-2:]
-        if size > h or size > w:
-            pl = (size - w) // 2 if size > w else 0
-            pr = (size - w + 1) // 2 if size > w else 0
-            pt = (size - h) // 2 if size > h else 0
-            pb = (size - h + 1) // 2 if size > h else 0
-            img = F.pad(img, (pl, pr, pt, pb))
-            h, w = img.shape[-2:]
-        top = int(round((h - size) / 2.0))
-        left = int(round((w - size) / 2.0))
-        return img[..., top : top + size, left : left + size]
+    # --- torchvision-era transform semantics (Resize/CenterCrop on tensors):
+    # single-sourced in tests/tv_stub.py, which also backs the executable
+    # attribute-stage oracle's subprocess torchvision.
+    from tests.tv_stub import _center_crop_tensor as t_center_crop
+    from tests.tv_stub import _resize_tensor as t_resize
 
     def trans_256(img):
         return t_center_crop(t_resize(img, 256), 256)

@@ -42,36 +42,22 @@ RES_SUBDIR = "6_0.2_1.2"  # <2*steps>_<eps>_<round(2*steps*eps,3)>
 POOL = "oracle"
 
 # Subprocess driver: stub the two third-party libraries this host lacks
-# (torchvision — only ToPILImage is functionally needed by tensor2image,
-# traverse_latent_space.py:26-41 — and skimage, imported transitively by
-# lib/__init__ via the sfd detector), then execute the reference script
+# (torchvision — tests/tv_stub.py, a functional re-implementation of the
+# public-library pieces the reference uses; ToPILImage is what tensor2image
+# needs, traverse_latent_space.py:26-41 — and skimage, imported transitively
+# by lib/__init__ via the sfd detector), then execute the reference script
 # unmodified as __main__. These are stubs of PUBLIC LIBRARIES, not of any
 # reference code.
+TV_STUB = osp.join(osp.dirname(osp.abspath(__file__)), "tv_stub.py")
+
 DRIVER = r'''
 import sys, types
-import numpy as np
-from PIL import Image
+import importlib.util
 
-tv = types.ModuleType("torchvision")
-tvm = types.ModuleType("torchvision.models")
-def resnet18(*a, **k):
-    raise RuntimeError("reconstructor is not used by the traversal script")
-tvm.resnet18 = resnet18
-tvt = types.ModuleType("torchvision.transforms")
-class ToPILImage:
-    """Minimal functional equivalent of torchvision's ToPILImage for uint8
-    CHW tensors (the only call pattern in tensor2image)."""
-    def __call__(self, pic):
-        arr = pic.detach().cpu().numpy()
-        if arr.ndim == 3:
-            arr = np.transpose(arr, (1, 2, 0))
-            if arr.shape[2] == 1:
-                arr = arr[:, :, 0]
-        return Image.fromarray(arr)
-tvt.ToPILImage = ToPILImage
-tv.models, tv.transforms = tvm, tvt
-sys.modules.update({"torchvision": tv, "torchvision.models": tvm,
-                    "torchvision.transforms": tvt})
+spec = importlib.util.spec_from_file_location("tv_stub", "TV_STUB_PATH")
+tv_stub = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(tv_stub)
+tv_stub.install()
 
 sk = types.ModuleType("skimage")
 skio = types.ModuleType("skimage.io")
@@ -103,6 +89,7 @@ def _run_reference_script(script, sandbox, argv):
     driver = osp.join(sandbox, "_ref_driver.py")
     with open(driver, "w") as f:
         f.write(DRIVER
+                .replace("TV_STUB_PATH", TV_STUB)
                 .replace("REFERENCE_ROOT", REFERENCE_ROOT)
                 .replace("SCRIPT_PATH", osp.join(REFERENCE_ROOT, script)))
     env = dict(os.environ)
